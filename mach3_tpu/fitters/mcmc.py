@@ -1,0 +1,286 @@
+"""MR2T2 — Metropolis-Hastings MCMC, vectorised over a chain batch axis.
+
+TPU-native redesign of the reference's production algorithm
+(``Fitters/MR2T2.cpp``, ``Fitters/MCMCBase.cpp``):
+
+* The per-step object dance (propose -> reweight -> accept -> tree fill)
+  becomes ONE pure jitted function ``(ChainState) -> ChainState`` scanned with
+  ``lax.scan`` over a chunk of steps; many chains run as a leading batch axis
+  (``vmap``), sharded across chips by the caller (``distributed/``).
+* The reference's out-of-bounds reweight short-circuit (``MR2T2.cpp:51-62``)
+  becomes uniform compute + sentinel masking (TPU compute is lockstep).
+* Adaptive covariance (Haario) and acceptance-rate tracking are carried in the
+  state as running moments — with per-chain or cross-chain-pooled estimation,
+  the latter being a capability the single-chain reference cannot have
+  (``Parameters/AdaptiveMCMCHandler.cpp:332-400``).
+* Simulated annealing matches ``MR2T2::AcceptanceProbability``
+  (``MR2T2.cpp:103-115``): ``exp(-dL / exp(-step / T))``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core.logging import get_logger
+from ..core.precision import ATYPE, LARGE_LOGL
+from .model import FitModel
+
+_log = get_logger("mcmc")
+
+
+@struct.dataclass
+class AdaptiveState:
+    """Running moments for Haario adaptive covariance (pooled across chains).
+
+    mean/cov follow the recursion of ``AdaptiveMCMCHandler::UpdateAdaptiveCovariance``;
+    ``chol`` is refreshed every ``update_step`` steps from the scaled covariance.
+    """
+
+    mean: jnp.ndarray  # [P]
+    cov: jnp.ndarray  # [P, P]
+    chol: jnp.ndarray  # [P, P] current throw matrix (replaces PriorModel.chol)
+    n_updates: jnp.ndarray  # i32 — steps accumulated into the moments
+
+
+@struct.dataclass
+class ChainState:
+    theta: jnp.ndarray  # [C, P]
+    nll: jnp.ndarray  # [C] current -logL (prior + samples)
+    key: jax.Array
+    step: jnp.ndarray  # i32 global step counter
+    n_accepted: jnp.ndarray  # [C] i32
+    adaptive: AdaptiveState | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class MCMCConfig:
+    """Static knobs (reference YAML ``General.MCMC`` + ``AdaptionOptions``)."""
+
+    n_steps: int = 1000
+    chunk_size: int = 100  # steps per jitted scan; host sees outputs per chunk
+    anneal_temp: float | None = None  # simulated annealing temperature (MCMCBase.cpp:19-26)
+    # Adaptive covariance (AdaptiveMCMCHandler.cpp:68-98 config keys)
+    adaptive: bool = False
+    adaption_start_throw: int = 1000  # start throwing with the adapted matrix
+    adaption_start_update: int = 100  # start accumulating moments
+    adaption_end_update: int = 1_000_000
+    adaption_update_step: int = 100  # refresh Cholesky cadence
+    target_scale: float | None = None  # None -> 2.38^2 / d (Haario optimal)
+
+
+def _masked_cholesky(cov: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Cholesky with a diagonal jitter floor so early (rank-deficient) moment
+    estimates do not produce NaNs."""
+    d = cov.shape[0]
+    jitter = eps * jnp.eye(d, dtype=cov.dtype)
+    return jnp.linalg.cholesky(cov + jitter)
+
+
+def make_step_fn(
+    model: FitModel, config: MCMCConfig
+) -> Callable[[ChainState], tuple[ChainState, dict[str, jnp.ndarray]]]:
+    """Build the pure single-step transition for a batch of chains."""
+    n_params = model.n_params
+
+    def nll_fn(theta: jnp.ndarray) -> jnp.ndarray:
+        return model.total_nll(theta)
+
+    def propose_fn(theta: jnp.ndarray, key: jax.Array, adaptive: AdaptiveState | None):
+        if adaptive is None:
+            return model.propose(theta, key)
+        # Adaptive throw: one global Cholesky across the concatenated vector.
+        # Special proposals (circular/flip) still applied per block.
+        key_n, key_f = jax.random.split(key)
+        z = jax.random.normal(key_n, (n_params,), dtype=ATYPE)
+        prop = theta + adaptive.chol @ z
+        from ..params.state import circular_wrap  # local to avoid cycle
+
+        flip_keys = jax.random.split(key_f, len(model.priors))
+        parts = []
+        for prior, (start, size), fk in zip(model.priors, model.slices, flip_keys):
+            block = jax.lax.dynamic_slice(prop, (start,), (size,))
+            cur = jax.lax.dynamic_slice(theta, (start,), (size,))
+            block = jnp.where(prior.fixed, cur, block)
+            wrapped = circular_wrap(block, prior.circ_low, prior.circ_high)
+            block = jnp.where(prior.circ_mask & ~prior.fixed, wrapped, block)
+            do_flip = jax.random.uniform(fk, (size,)) < 0.5
+            flipped = 2.0 * prior.flip_point - block
+            block = jnp.where(prior.flip_mask & ~prior.fixed & do_flip, flipped, block)
+            parts.append(block)
+        return jnp.concatenate(parts)
+
+    def step_fn(state: ChainState):
+        key, k_prop, k_acc = jax.random.split(state.key, 3)
+        n_chains = state.theta.shape[0]
+        prop_keys = jax.random.split(k_prop, n_chains)
+
+        proposed = jax.vmap(lambda t, k: propose_fn(t, k, state.adaptive))(
+            state.theta, prop_keys
+        )
+        nll_prop = jax.vmap(nll_fn)(proposed)
+
+        # Acceptance probability (MR2T2.cpp:103-115)
+        d_nll = nll_prop - state.nll
+        if config.anneal_temp is not None:
+            temp = jnp.exp(-state.step.astype(ATYPE) / config.anneal_temp)
+            log_acc = -d_nll / temp
+        else:
+            log_acc = -d_nll
+        acc_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(log_acc, 0.0)))
+
+        u = jax.random.uniform(k_acc, (n_chains,), dtype=ATYPE)
+        out_of_bounds = nll_prop >= LARGE_LOGL
+        accept = (~out_of_bounds) & (u < acc_prob)
+
+        theta = jnp.where(accept[:, None], proposed, state.theta)
+        nll = jnp.where(accept, nll_prop, state.nll)
+        step = state.step + 1
+
+        adaptive = state.adaptive
+        if adaptive is not None:
+            adaptive = _update_adaptive(adaptive, theta, step, config)
+
+        new_state = ChainState(
+            theta=theta,
+            nll=nll,
+            key=key,
+            step=step,
+            n_accepted=state.n_accepted + accept.astype(jnp.int32),
+            adaptive=adaptive,
+        )
+        outputs = {
+            "theta": theta,
+            "nll": nll,
+            "acc_prob": acc_prob,
+            "accepted": accept,
+        }
+        return new_state, outputs
+
+    return step_fn
+
+
+def _update_adaptive(
+    ad: AdaptiveState, theta: jnp.ndarray, step: jnp.ndarray, config: MCMCConfig
+) -> AdaptiveState:
+    """Haario moment update pooled over the chain batch
+    (``AdaptiveMCMCHandler.cpp:332-400``, generalised: each step contributes the
+    chain-averaged outer products, i.e. C samples at once)."""
+    in_window = (step >= config.adaption_start_update) & (step <= config.adaption_end_update)
+    x = jnp.mean(theta.astype(ATYPE), axis=0)  # pooled "current value" [P]
+    xxt = jnp.einsum("ci,cj->ij", theta.astype(ATYPE), theta.astype(ATYPE)) / theta.shape[0]
+
+    n = ad.n_updates.astype(ATYPE)
+    new_mean = (x + ad.mean * n) / (n + 1.0)
+    # cov_t = cov*(n-1)/n + (n*m_prev m_prev^T - (n+1)*m m^T + x x^T)/n, n>0
+    safe_n = jnp.maximum(n, 1.0)
+    cov_updated = ad.cov * (safe_n - 1.0) / safe_n + (
+        n * jnp.outer(ad.mean, ad.mean)
+        - (n + 1.0) * jnp.outer(new_mean, new_mean)
+        + xxt
+    ) / safe_n
+    new_cov = jnp.where(n > 0, cov_updated, ad.cov)
+
+    mean = jnp.where(in_window, new_mean, ad.mean)
+    cov = jnp.where(in_window, new_cov, ad.cov)
+    n_updates = ad.n_updates + in_window.astype(jnp.int32)
+
+    # Refresh the throw matrix on cadence once throwing has started.
+    d = theta.shape[1]
+    scale = config.target_scale if config.target_scale is not None else 5.6644 / d
+    refresh = (
+        (step >= config.adaption_start_throw)
+        & ((step - config.adaption_start_throw) % config.adaption_update_step == 0)
+    )
+    chol = jax.lax.cond(
+        refresh,
+        lambda: _masked_cholesky(cov * scale),
+        lambda: ad.chol,
+    )
+    return AdaptiveState(mean=mean, cov=cov, chol=chol, n_updates=n_updates)
+
+
+class MR2T2:
+    """Chunked MCMC driver: jit-compiled scan per chunk, host-side chain storage.
+
+    Mirrors ``MCMCBase::RunMCMC`` (``Fitters/MCMCBase.cpp:32-123``): the chunk
+    boundary is where the reference fills its TTree and auto-saves.
+    """
+
+    def __init__(self, model: FitModel, config: MCMCConfig, init_theta: np.ndarray, seed: int = 0):
+        self.model = model
+        self.config = config
+        n_chains, n_params = init_theta.shape
+        step_fn = make_step_fn(model, config)
+
+        def run_chunk(state: ChainState, n_steps: int):
+            def body(s, _):
+                return step_fn(s)
+
+            return jax.lax.scan(body, state, None, length=n_steps)
+
+        self._run_chunk = jax.jit(run_chunk, static_argnums=1)
+
+        adaptive = None
+        if config.adaptive:
+            # Seed the moments with the prior covariance scaled like the
+            # initial throw matrix (reference initial_throw_matrix).
+            cov0 = self._initial_cov()
+            adaptive = AdaptiveState(
+                mean=jnp.zeros((n_params,), ATYPE),
+                cov=jnp.asarray(cov0, ATYPE),
+                chol=jnp.asarray(np.linalg.cholesky(cov0 + 1e-12 * np.eye(n_params)), ATYPE),
+                n_updates=jnp.asarray(0, jnp.int32),
+            )
+
+        theta0 = jnp.asarray(init_theta, ATYPE)
+        nll0 = jax.jit(jax.vmap(model.total_nll))(theta0)
+        self.state = ChainState(
+            theta=theta0,
+            nll=nll0,
+            key=jax.random.key(seed),
+            step=jnp.asarray(0, jnp.int32),
+            n_accepted=jnp.zeros((n_chains,), jnp.int32),
+            adaptive=adaptive,
+        )
+
+    def _initial_cov(self) -> np.ndarray:
+        """Block-diagonal prior covariance scaled by the per-param step scales."""
+        blocks = []
+        for prior in self.model.priors:
+            chol = np.asarray(prior.chol)
+            scale = np.asarray(prior.step_scale)
+            c = chol * scale[:, None]
+            blocks.append(c @ c.T)
+        total = sum(b.shape[0] for b in blocks)
+        cov = np.zeros((total, total))
+        at = 0
+        for b in blocks:
+            cov[at : at + b.shape[0], at : at + b.shape[0]] = b
+            at += b.shape[0]
+        return cov
+
+    def run(self, n_steps: int | None = None, callback=None) -> dict[str, np.ndarray]:
+        """Run the chain; returns host-side arrays
+        theta [S, C, P], nll [S, C], acc_prob [S, C], accepted [S, C]."""
+        n_steps = n_steps or self.config.n_steps
+        chunks: list[dict[str, np.ndarray]] = []
+        done = 0
+        while done < n_steps:
+            n = min(self.config.chunk_size, n_steps - done)
+            self.state, out = self._run_chunk(self.state, n)
+            host = {k: np.asarray(v) for k, v in out.items()}
+            chunks.append(host)
+            done += n
+            if callback is not None:
+                callback(done, self.state, host)
+        return {k: np.concatenate([c[k] for c in chunks], axis=0) for k in chunks[0]}
+
+    @property
+    def acceptance_rate(self) -> np.ndarray:
+        return np.asarray(self.state.n_accepted) / max(int(self.state.step), 1)

@@ -1,0 +1,161 @@
+"""Real-arithmetic complex-pair algebra for 3x3 oscillation matrices.
+
+The TPU backend supports neither complex128 nor (efficiently) complex math in
+hot loops; all oscillation computations are therefore expressed on (re, im)
+array pairs with plain VPU ops. Shapes are [..., 3, 3] batched over grids.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+Pair = tuple[jnp.ndarray, jnp.ndarray]
+
+
+def c_matmul(a: Pair, b: Pair) -> Pair:
+    """(ar + i ai) @ (br + i bi) on [..., 3, 3] batches."""
+    ar, ai = a
+    br, bi = b
+    re = jnp.einsum("...ij,...jk->...ik", ar, br) - jnp.einsum("...ij,...jk->...ik", ai, bi)
+    im = jnp.einsum("...ij,...jk->...ik", ar, bi) + jnp.einsum("...ij,...jk->...ik", ai, br)
+    return re, im
+
+
+def c_scale(a: Pair, sr: jnp.ndarray, si: jnp.ndarray | None = None) -> Pair:
+    """Multiply by a (broadcastable) scalar sr + i si."""
+    ar, ai = a
+    if si is None:
+        return ar * sr, ai * sr
+    return ar * sr - ai * si, ar * si + ai * sr
+
+
+def c_add(a: Pair, b: Pair) -> Pair:
+    return a[0] + b[0], a[1] + b[1]
+
+
+def c_abs2(a: Pair) -> jnp.ndarray:
+    return a[0] * a[0] + a[1] * a[1]
+
+
+def herm_det(hr: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    """Real-valued determinant of a Hermitian 3x3 batch [..., 3, 3].
+
+    Generic 3x3 determinant expanded on (re, im); for Hermitian input the
+    imaginary part vanishes analytically, so only the real part is formed.
+    """
+
+    def cof_re(i1, j1, i2, j2):
+        return (
+            hr[..., i1, j1] * hr[..., i2, j2]
+            - hi[..., i1, j1] * hi[..., i2, j2]
+        )
+
+    def cof_im(i1, j1, i2, j2):
+        return (
+            hr[..., i1, j1] * hi[..., i2, j2]
+            + hi[..., i1, j1] * hr[..., i2, j2]
+        )
+
+    # det = sum over first row of a * cofactor; real part only.
+    det = jnp.zeros_like(hr[..., 0, 0])
+    for j, (c1, c2), sign in (
+        (0, ((1, 1), (2, 2)), 1.0),
+        (0, ((1, 2), (2, 1)), -1.0),
+        (1, ((1, 0), (2, 2)), -1.0),
+        (1, ((1, 2), (2, 0)), 1.0),
+        (2, ((1, 0), (2, 1)), 1.0),
+        (2, ((1, 1), (2, 0)), -1.0),
+    ):
+        m_re = cof_re(*c1, *c2)
+        m_im = cof_im(*c1, *c2)
+        det = det + sign * (hr[..., 0, j] * m_re - hi[..., 0, j] * m_im)
+    return det
+
+
+def herm_eigvals(hr: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form eigenvalues of a Hermitian 3x3 batch -> [..., 3].
+
+    Trigonometric Cardano (cf. Kopp, physics/0610206) on real invariants:
+    q = tr/3, p = sqrt(tr((H-q)^2)/6), phi from det(H-q)/(2 p^3).
+    """
+    q = (hr[..., 0, 0] + hr[..., 1, 1] + hr[..., 2, 2]) / 3.0
+    dr = hr - q[..., None, None] * jnp.eye(3, dtype=hr.dtype)
+    # tr(H'^2) = sum |H'_ij|^2 for Hermitian H'
+    p2 = (jnp.sum(dr * dr, axis=(-2, -1)) + jnp.sum(hi * hi, axis=(-2, -1))) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-300))
+    det = herm_det(dr, hi)
+    r = det / (2.0 * p * p * p)
+    phi = jnp.arccos(jnp.clip(r, -1.0, 1.0))
+    k = jnp.arange(3, dtype=hr.dtype)
+    ang = (phi[..., None] + 2.0 * jnp.pi * k) / 3.0
+    return q[..., None] + 2.0 * p[..., None] * jnp.cos(ang)
+
+
+def _sinc(x: jnp.ndarray) -> jnp.ndarray:
+    """sin(x)/x with the x -> 0 limit (series switch for stability)."""
+    small = jnp.abs(x) < 1e-4
+    safe = jnp.where(small, 1.0, x)
+    return jnp.where(small, 1.0 - x * x / 6.0, jnp.sin(safe) / safe)
+
+
+def _phase_dd(a: jnp.ndarray, b: jnp.ndarray, length: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """First divided difference of f(λ) = exp(-i λ L):
+
+    (e^{-iaL} - e^{-ibL}) / (a - b) = -i L e^{-i(a+b)L/2} sinc((a-b)L/2)
+
+    — exact and stable as a -> b (degenerate eigenvalues).
+    Returns the (re, im) pair.
+    """
+    m = 0.5 * (a + b) * length
+    d = 0.5 * (a - b) * length
+    s = length * _sinc(d)
+    return -s * jnp.sin(m), -s * jnp.cos(m)
+
+
+def herm_evolution(
+    hr: jnp.ndarray, hi: jnp.ndarray, length: jnp.ndarray
+) -> Pair:
+    """exp(-i H L) for a Hermitian 3x3 batch, all-real ops.
+
+    Newton divided-difference form (stable under eigenvalue degeneracy, which
+    the Frobenius-covariant form is not — e.g. Δm²21 -> 0 or θ13 = 0 corners):
+
+        f(H) = f(λ1) I + f[λ1,λ2] (H − λ1) + f[λ1,λ2,λ3] (H − λ1)(H − λ2)
+
+    with f(λ) = exp(-i λ L). First differences use the sinc identity (exact in
+    the degenerate limit); the second difference is guarded — it only becomes
+    ill-conditioned under *triple* degeneracy, where its matrix factor
+    (H − λ1)(H − λ2) vanishes anyway.
+    """
+    length = jnp.asarray(length, hr.dtype)
+    lam = jnp.sort(herm_eigvals(hr, hi), axis=-1)  # ascending [..., 3]
+    l1, l2, l3 = lam[..., 0], lam[..., 1], lam[..., 2]
+
+    p1 = l1 * length
+    f1_r, f1_i = jnp.cos(p1), -jnp.sin(p1)
+    f12_r, f12_i = _phase_dd(l1, l2, length)
+    f23_r, f23_i = _phase_dd(l2, l3, length)
+    d13 = l1 - l3
+    inv13 = jnp.where(jnp.abs(d13) < 1e-30, 0.0, 1.0 / jnp.where(d13 == 0, 1.0, d13))
+    f123_r = (f12_r - f23_r) * inv13
+    f123_i = (f12_i - f23_i) * inv13
+
+    eye = jnp.eye(3, dtype=hr.dtype)
+    m1_r = hr - l1[..., None, None] * eye  # H - λ1 (imag part is hi)
+    m2_r = hr - l2[..., None, None] * eye
+    q_r, q_i = c_matmul((m1_r, hi), (m2_r, hi))  # (H-λ1)(H-λ2)
+
+    out_r = (
+        f1_r[..., None, None] * eye
+        + f12_r[..., None, None] * m1_r
+        - f12_i[..., None, None] * hi
+        + f123_r[..., None, None] * q_r
+        - f123_i[..., None, None] * q_i
+    )
+    out_i = (
+        f1_i[..., None, None] * eye
+        + f12_r[..., None, None] * hi
+        + f12_i[..., None, None] * m1_r
+        + f123_r[..., None, None] * q_i
+        + f123_i[..., None, None] * q_r
+    )
+    return out_r, out_i

@@ -1,0 +1,19 @@
+from .teststats import (
+    TestStatistic,
+    barlow_beeston_llh,
+    dembinski_abdelmotteleb_llh,
+    get_test_stat_fn,
+    icecube_llh,
+    pearson_llh,
+    poisson_llh,
+)
+
+__all__ = [
+    "TestStatistic",
+    "barlow_beeston_llh",
+    "dembinski_abdelmotteleb_llh",
+    "get_test_stat_fn",
+    "icecube_llh",
+    "pearson_llh",
+    "poisson_llh",
+]

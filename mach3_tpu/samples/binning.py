@@ -1,0 +1,108 @@
+"""N-dimensional binning with a global flat bin space.
+
+TPU-native equivalent of the reference's ``BinningHandler``
+(``Samples/BinningHandler.h:10-123``, ``Samples/BinningHandler.cpp``): each
+sample owns an N-dim rectangular binning (non-uniform edges per axis); all
+samples are concatenated into one global flat bin array with per-sample offsets
+so the likelihood is a single reduction over the global space.
+
+The reference accelerates event migration with a cached nominal bin and a
+same->adjacent->binary search (``Samples/SampleStructs.h:565-614``) — a CPU
+cache trick. On TPU we simply recompute the full vectorised ``searchsorted``
+for every axis each step; it is a negligible cost next to the spline product
+and removes all per-event statefulness.
+
+Out-of-range events map to a per-sample garbage bin (index ``n_bins``) which
+the likelihood ignores — this is the reference's selection-cut behaviour
+(events failing the binning contribute nothing).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core.precision import FTYPE, ITYPE
+
+
+@struct.dataclass
+class SampleBinning:
+    """Static binning arrays for one sample.
+
+    edges: [A, Kmax] f32 padded with +inf; n_bins_axis: [A] i32;
+    strides: [A] i32 (row-major ravel); axis_vars: [A] i32 — which kinematic
+    variable (row of the sample's kinematics matrix) each axis bins.
+    """
+
+    edges: jnp.ndarray
+    n_bins_axis: jnp.ndarray
+    strides: jnp.ndarray
+    axis_vars: jnp.ndarray
+    n_bins: int = struct.field(pytree_node=False)
+
+    @property
+    def n_axes(self) -> int:
+        return self.edges.shape[0]
+
+    @classmethod
+    def build(cls, edges: Sequence[np.ndarray], axis_vars: Sequence[int]) -> "SampleBinning":
+        n_axes = len(edges)
+        kmax = max(len(e) for e in edges)
+        padded = np.full((n_axes, kmax), np.inf, np.float64)
+        n_bins_axis = np.zeros(n_axes, np.int64)
+        for a, e in enumerate(edges):
+            e = np.asarray(e, np.float64)
+            if np.any(np.diff(e) <= 0):
+                raise ValueError(f"Bin edges for axis {a} not strictly increasing")
+            padded[a, : len(e)] = e
+            n_bins_axis[a] = len(e) - 1
+        strides = np.ones(n_axes, np.int64)
+        for a in range(n_axes - 2, -1, -1):
+            strides[a] = strides[a + 1] * n_bins_axis[a + 1]
+        n_bins = int(np.prod(n_bins_axis))
+        return cls(
+            edges=jnp.asarray(padded, FTYPE),
+            n_bins_axis=jnp.asarray(n_bins_axis, ITYPE),
+            strides=jnp.asarray(strides, ITYPE),
+            axis_vars=jnp.asarray(list(axis_vars), ITYPE),
+            n_bins=n_bins,
+        )
+
+    def find_bins(self, kinematics: jnp.ndarray) -> jnp.ndarray:
+        """Flat local bin index per event; ``n_bins`` for out-of-range.
+
+        kinematics: [V, E] — all kinematic variables of the sample; the axes
+        select their rows via ``axis_vars``.
+        """
+        x = kinematics[self.axis_vars]  # [A, E]
+        # Per-axis searchsorted against padded (+inf) edges (int32: the TPU
+        # backend does not support int64).
+        idx = (
+            jnp.sum(
+                (self.edges[:, :, None] <= x[:, None, :]).astype(ITYPE),
+                axis=1,
+                dtype=ITYPE,
+            )
+            - 1
+        )  # [A, E]
+        valid = (idx >= 0) & (idx < self.n_bins_axis[:, None])
+        all_valid = jnp.all(valid, axis=0)
+        flat = jnp.sum(
+            jnp.clip(idx, 0, self.n_bins_axis[:, None] - 1) * self.strides[:, None], axis=0
+        )
+        return jnp.where(all_valid, flat, self.n_bins).astype(ITYPE)
+
+
+def histogram(
+    weights: jnp.ndarray, bins: jnp.ndarray, n_bins: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(sum w, sum w²) per bin — the reference's ``FillArray_MP`` OMP array
+    reduction (``Samples/SampleHandlerFD.cpp:390-448``) as two segment_sums.
+    The garbage bin (index n_bins) is dropped."""
+    w = weights.astype(FTYPE)
+    mc = jax.ops.segment_sum(w, bins, num_segments=n_bins + 1)[:n_bins]
+    w2 = jax.ops.segment_sum(w * w, bins, num_segments=n_bins + 1)[:n_bins]
+    return mc, w2

@@ -1,0 +1,192 @@
+"""Host-side event store and SampleModel builders.
+
+TPU-native equivalent of the reference's sample-init pipeline
+(``Samples/SampleHandlerFD.cpp:169-202``): load MC into a struct-of-arrays,
+match normalisation parameters to events once at setup
+(``CalcNormsBins``, ``SampleHandlerFD.cpp:637-747``), wire oscillation channels
+(``InitialiseNuOscillatorObjects``/``SetupNuOscillatorPointers``,
+``:1047-1122``), and produce the static device arrays of a
+:class:`~mach3_tpu.samples.sample.SampleModel`.
+
+The reference's per-event pointer wiring becomes padded integer index arrays.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.exceptions import ConfigError
+from ..core.logging import get_logger
+from ..core.precision import ATYPE, FTYPE, ITYPE
+from ..params.parameterset import ParamMeta
+from .binning import SampleBinning
+from .sample import OscConfig, SampleModel, ShiftSpec
+from .teststats import TestStatistic
+
+_log = get_logger("samples")
+
+#: PDG -> flavour index (e, mu, tau); sign = antineutrino.
+_FLAVOUR = {12: 0, 14: 1, 16: 2}
+
+
+@dataclasses.dataclass
+class EventData:
+    """Struct-of-arrays MC event record (``EventInfo``,
+    ``Samples/FarDetectorCoreInfoStruct.h:82-126`` — minus the pointers)."""
+
+    kinematics: dict[str, np.ndarray]  # e.g. {"e_true": ..., "e_reco": ...}
+    mode: np.ndarray  # [E] generator interaction mode
+    target: np.ndarray  # [E] target nucleus Z
+    pdg: np.ndarray  # [E] post-oscillation neutrino PDG (±12/±14/±16)
+    preosc_pdg: np.ndarray  # [E] flux (pre-oscillation) PDG
+    mc_weight: np.ndarray  # [E] nominal MC weight
+
+    @property
+    def n_events(self) -> int:
+        return len(self.mode)
+
+
+def match_norm_params(
+    events: EventData,
+    metas: Sequence[tuple[ParamMeta, int]],
+    sample_name: str,
+) -> np.ndarray:
+    """Build the padded norm-index matrix [E, W] of *global* parameter indices.
+
+    metas: (meta, global_index) pairs for norm-type parameters. Matching rules
+    follow ``CalcNormsBins``: empty selection lists match everything; kinematic
+    cuts test the event's *nominal* kinematics.
+    """
+    e = events.n_events
+    matched: list[list[int]] = [[] for _ in range(e)]
+    for meta, gidx in metas:
+        if not meta.applies_to_sample(sample_name):
+            continue
+        mask = np.ones(e, dtype=bool)
+        if meta.modes:
+            mask &= np.isin(events.mode, meta.modes)
+        if meta.pdgs:
+            mask &= np.isin(events.pdg, meta.pdgs)
+        if meta.preosc_pdgs:
+            mask &= np.isin(events.preosc_pdg, meta.preosc_pdgs)
+        if meta.targets:
+            mask &= np.isin(events.target, meta.targets)
+        for cut in meta.kinematic_cuts:
+            if cut.variable not in events.kinematics:
+                raise ConfigError(
+                    f"Kinematic cut variable '{cut.variable}' unknown to sample {sample_name}"
+                )
+            v = events.kinematics[cut.variable]
+            mask &= (v >= cut.low) & (v < cut.high)
+        for idx in np.nonzero(mask)[0]:
+            matched[idx].append(gidx)
+    width = max(1, max((len(m) for m in matched), default=1))
+    pad = -1  # replaced by the unit slot downstream
+    out = np.full((e, width), pad, np.int64)
+    for i, m in enumerate(matched):
+        out[i, : len(m)] = m
+    n_assoc = sum(len(m) for m in matched)
+    _log.info(
+        "%s: matched %d norm-param/event associations (width %d)",
+        sample_name,
+        n_assoc,
+        width,
+    )
+    return out
+
+
+def build_osc_config(
+    events: EventData,
+    e_grid: np.ndarray,
+    osc_param_gidx: Sequence[int],
+    baseline: float,
+    density: float,
+    electron_fraction: float = 0.5,
+    nc_modes: Sequence[int] = (),
+    e_true_var: str = "e_true",
+) -> OscConfig:
+    """Wire per-event oscillation-channel and energy-grid gather indices.
+
+    Channels are the unique (preosc_pdg, pdg) pairs (``OscChannelInfo``,
+    ``FarDetectorCoreInfoStruct.h:8-37``); both PDGs must share the sign.
+    """
+    pairs = np.stack([events.preosc_pdg, events.pdg], axis=1)
+    uniq, inverse = np.unique(pairs, axis=0, return_inverse=True)
+    alpha, beta, anti = [], [], []
+    for gen, det in uniq:
+        if (gen > 0) != (det > 0):
+            raise ConfigError(f"Oscillation channel mixes nu and nubar: {gen} -> {det}")
+        alpha.append(_FLAVOUR[abs(int(gen))])
+        beta.append(_FLAVOUR[abs(int(det))])
+        anti.append(gen < 0)
+
+    e_true = np.asarray(events.kinematics[e_true_var], np.float64)
+    grid = np.asarray(e_grid, np.float64)
+    gidx = np.clip(np.searchsorted(grid, e_true), 0, len(grid) - 1)
+    # Snap to nearest grid centre rather than insertion point.
+    left = np.clip(gidx - 1, 0, len(grid) - 1)
+    use_left = np.abs(grid[left] - e_true) < np.abs(grid[gidx] - e_true)
+    gidx = np.where(use_left, left, gidx)
+
+    nc_mask = np.isin(events.mode, list(nc_modes))
+    return OscConfig(
+        e_grid=jnp.asarray(grid, ATYPE),
+        event_grid_idx=jnp.asarray(gidx, ITYPE),
+        event_channel=jnp.asarray(inverse.reshape(-1), ITYPE),
+        chan_alpha=jnp.asarray(alpha, ITYPE),
+        chan_beta=jnp.asarray(beta, ITYPE),
+        chan_anti=jnp.asarray(anti),
+        nc_mask=jnp.asarray(nc_mask),
+        baseline=float(baseline),
+        density=float(density),
+        electron_fraction=float(electron_fraction),
+        osc_param_idx=jnp.asarray(list(osc_param_gidx), ITYPE),
+    )
+
+
+def build_sample_model(
+    name: str,
+    events: EventData,
+    var_order: Sequence[str],
+    binning_edges: Sequence[np.ndarray],
+    binning_vars: Sequence[str],
+    n_total_params: int,
+    norm_idx: np.ndarray | None = None,
+    spline_table=None,
+    osc: OscConfig | None = None,
+    shifts: Sequence[ShiftSpec] = (),
+    data: np.ndarray | None = None,
+    test_statistic: TestStatistic = TestStatistic.BARLOW_BEESTON,
+) -> SampleModel:
+    """Assemble the static SampleModel arrays.
+
+    var_order fixes the row layout of the kinematics matrix; binning_vars and
+    ShiftSpec.var_row refer to rows of that matrix.
+    """
+    var_index = {v: i for i, v in enumerate(var_order)}
+    kin = np.stack([np.asarray(events.kinematics[v], np.float32) for v in var_order])
+    binning = SampleBinning.build(binning_edges, [var_index[v] for v in binning_vars])
+
+    if norm_idx is None:
+        norm_idx = np.full((events.n_events, 1), -1, np.int64)
+    # Map pad (-1) to the unit slot (= n_total_params, appended 1.0).
+    norm_idx = np.where(norm_idx < 0, n_total_params, norm_idx)
+
+    if data is None:
+        data = np.zeros(binning.n_bins)
+
+    return SampleModel(
+        name=name,
+        kin=jnp.asarray(kin, FTYPE),
+        mc_weight=jnp.asarray(events.mc_weight, FTYPE),
+        norm_idx=jnp.asarray(norm_idx, ITYPE),
+        binning=binning,
+        data=jnp.asarray(data, ATYPE),
+        spline_table=spline_table,
+        osc=osc,
+        shifts=tuple(shifts),
+        test_statistic=test_statistic,
+    )

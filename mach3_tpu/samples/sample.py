@@ -1,0 +1,195 @@
+"""The binned-sample likelihood engine.
+
+TPU-native redesign of ``SampleHandlerFD`` (``Samples/SampleHandlerFD.h:21``,
+``Samples/SampleHandlerFD.cpp:316-448,1284-1300``). The reference's per-step
+pipeline is::
+
+    Reweight(): osc eval -> spline eval -> func-param prep -> GPU sync
+                -> FillArray_MP (OMP over events: shifts, selection, pointer
+                   weight product, bin lookup, array reduction)
+    GetLikelihood(): OMP sum of the test statistic over the flat bin array
+
+Here the whole pipeline is ONE pure jitted function of the proposed parameter
+vector. The reference's pointer network (``FarDetectorCoreInfoStruct.h:108-117``:
+per-event ``norm_pointers`` / ``total_weight_pointers`` into other objects'
+memory) becomes integer index arrays + gathers:
+
+* norm systematics  -> ``norm_idx [E, Wn]`` into an extended parameter vector
+  (built once at init like ``CalcNormsBins``, ``SampleHandlerFD.cpp:637-747``),
+* spline systematics -> the spline monolith (``splines/``),
+* oscillation       -> per-event gather from per-channel probability grids,
+* functional shifts -> registered pure functions transforming kinematics
+  (``RegisterFunctionalParameters``, ``SampleHandlerFD.cpp:465-564``),
+
+and the OMP histogram reduction becomes ``segment_sum`` into the sample's flat
+bin space. Events migrate bins each step by full recomputation of the binning
+(see ``binning.py``). Everything is vmappable over a chain batch axis.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.precision import ATYPE, FTYPE, ITYPE
+from ..osc.prob import OscParams, probabilities_const_density
+from ..splines.eval import eval_dense, eval_sparse
+from ..splines.monolith import DenseSplineTable, SparseSplineTable
+from .binning import SampleBinning, histogram
+from .teststats import TestStatistic, get_test_stat_fn
+
+#: A functional shift: (param_value, var_values [E], kin [V, E]) -> new var values.
+ShiftFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+@struct.dataclass
+class ShiftSpec:
+    """One functional parameter applied to one kinematic variable."""
+
+    fn: ShiftFn = struct.field(pytree_node=False)
+    param_index: int = struct.field(pytree_node=False)
+    var_row: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class OscConfig:
+    """Per-sample oscillation setup (beam / constant-density case).
+
+    The reference shares one NuOscillator calcer across channels with equal
+    binning (``OscillationHandler.cpp:18-35``); here all channels share the
+    energy grid by construction, and nu/nubar grids are both evaluated
+    (2 x NE x 3 x 3 — negligible) so channels just gather.
+    """
+
+    e_grid: jnp.ndarray  # [NE] true-energy grid centres
+    event_grid_idx: jnp.ndarray  # [E] i32 gather index into e_grid
+    event_channel: jnp.ndarray  # [E] i32 channel id
+    chan_alpha: jnp.ndarray  # [NC] i32 production flavour (0=e,1=mu,2=tau)
+    chan_beta: jnp.ndarray  # [NC] i32 detection flavour
+    chan_anti: jnp.ndarray  # [NC] bool
+    nc_mask: jnp.ndarray  # [E] bool — NC events get unit osc weight
+    baseline: float = struct.field(pytree_node=False)
+    density: float = struct.field(pytree_node=False)
+    electron_fraction: float = struct.field(pytree_node=False, default=0.5)
+    osc_param_idx: jnp.ndarray | None = None  # [6] i32 into the proposal vector
+
+
+@struct.dataclass
+class SampleModel:
+    """Static arrays + config for one binned sample; methods are jit-safe."""
+
+    name: str = struct.field(pytree_node=False)
+    kin: jnp.ndarray  # [V, E] f32 kinematic variables
+    mc_weight: jnp.ndarray  # [E] f32 nominal MC weight
+    norm_idx: jnp.ndarray  # [E, Wn] i32 into extended parameter vector
+    binning: SampleBinning
+    data: jnp.ndarray  # [B] f64 observed histogram
+    spline_table: DenseSplineTable | SparseSplineTable | None = None
+    osc: OscConfig | None = None
+    shifts: tuple[ShiftSpec, ...] = struct.field(pytree_node=False, default=())
+    test_statistic: TestStatistic = struct.field(
+        pytree_node=False, default=TestStatistic.BARLOW_BEESTON
+    )
+
+    @property
+    def n_events(self) -> int:
+        return self.kin.shape[1]
+
+    @property
+    def n_bins(self) -> int:
+        return self.binning.n_bins
+
+    # ------------------------------------------------------------ weights
+    def _norm_weights(self, params: jnp.ndarray) -> jnp.ndarray:
+        """Product of applicable normalisation parameters per event.
+
+        The extended vector appends a literal 1.0 so the padding index NP
+        multiplies by unity (replaces the reference's per-event
+        ``norm_pointers`` vector-of-pointers product, ``FillArray_MP``).
+        """
+        ext = jnp.concatenate([params.astype(FTYPE), jnp.ones((1,), FTYPE)])
+        vals = ext[self.norm_idx]  # [E, Wn]
+        return jnp.prod(vals, axis=1)
+
+    def _spline_weights(self, params: jnp.ndarray) -> jnp.ndarray:
+        if self.spline_table is None:
+            return jnp.ones((self.n_events,), FTYPE)
+        if isinstance(self.spline_table, DenseSplineTable):
+            return eval_dense(self.spline_table, params)
+        return eval_sparse(self.spline_table, params)
+
+    def _osc_weights(self, params: jnp.ndarray) -> jnp.ndarray:
+        if self.osc is None:
+            return jnp.ones((self.n_events,), FTYPE)
+        o = self.osc
+        osc_pars = OscParams.from_array(params[o.osc_param_idx].astype(ATYPE))
+        p_nu = probabilities_const_density(
+            osc_pars,
+            o.e_grid,
+            length=o.baseline,
+            rho=o.density,
+            ye=o.electron_fraction,
+            antineutrino=False,
+        )  # [NE, 3, 3]
+        p_bar = probabilities_const_density(
+            osc_pars,
+            o.e_grid,
+            length=o.baseline,
+            rho=o.density,
+            ye=o.electron_fraction,
+            antineutrino=True,
+        )
+        # Per-channel probability rows: [NC, NE]
+        chan_nu = p_nu[:, o.chan_alpha, o.chan_beta].T
+        chan_bar = p_bar[:, o.chan_alpha, o.chan_beta].T
+        chan = jnp.where(o.chan_anti[:, None], chan_bar, chan_nu)  # [NC, NE]
+        w = chan[o.event_channel, o.event_grid_idx].astype(FTYPE)
+        # NC events do not oscillate: unit weight (``SampleHandlerFD.cpp:1127-1133``).
+        return jnp.where(o.nc_mask, jnp.ones((), FTYPE), w)
+
+    def _shifted_kinematics(self, params: jnp.ndarray) -> jnp.ndarray:
+        kin = self.kin
+        for s in self.shifts:
+            kin = kin.at[s.var_row].set(s.fn(params[s.param_index], kin[s.var_row], kin))
+        return kin
+
+    # ---------------------------------------------------------- reweight
+    def reweight(self, params: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Full event reweight + histogram fill: params [NP] -> (mc [B], w2 [B])."""
+        w = (
+            self.mc_weight
+            * self._norm_weights(params)
+            * self._spline_weights(params)
+            * self._osc_weights(params)
+        )
+        kin = self._shifted_kinematics(params)
+        bins = self.binning.find_bins(kin)
+        return histogram(w, bins, self.n_bins)
+
+    def log_likelihood(self, params: jnp.ndarray) -> jnp.ndarray:
+        """-logL of this sample (f64 scalar), ``GetLikelihood`` equivalent."""
+        mc, w2 = self.reweight(params)
+        stat_fn = get_test_stat_fn(self.test_statistic)
+        per_bin = stat_fn(self.data, mc.astype(ATYPE), w2.astype(ATYPE))
+        return jnp.sum(per_bin)
+
+    def with_data(self, data) -> "SampleModel":
+        return self.replace(data=jnp.asarray(data, ATYPE))
+
+    def asimov_data(self, params: jnp.ndarray) -> jnp.ndarray:
+        """MC prediction at the given parameters, for Asimov fits (the
+        reference's default: data = nominal MC, ``MaCh3Factory.h:134-157``)."""
+        mc, _ = self.reweight(params)
+        return mc.astype(ATYPE)
+
+
+def total_log_likelihood(
+    samples: Sequence[SampleModel], params: jnp.ndarray
+) -> jnp.ndarray:
+    """Sum of sample -logLs (f64)."""
+    total = jnp.zeros((), ATYPE)
+    for s in samples:
+        total = total + s.log_likelihood(params)
+    return total

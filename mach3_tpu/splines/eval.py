@@ -1,0 +1,99 @@
+"""Spline-monolith evaluation kernels (pure jnp; Pallas variant in pallas_eval).
+
+Replaces the reference's segment-search + CUDA evaluation pipeline:
+
+* ``SplineBase::FindSplineSegment`` (``Splines/SplineBase.cpp:44-110``) — the
+  reference caches the last segment per parameter and walks neighbours before a
+  binary search, once per step on the host. On TPU a vectorised
+  ``searchsorted`` over all parameters at once is cheaper than any caching.
+* ``EvalOnGPU_Splines`` / ``EvalOnGPU_TotWeight`` (``gpuSplineUtils.cu:337-439``)
+  — one thread per spline + one per event with texture-memory index maps.
+  Here: one fused array program; the per-event product is a dense reduction
+  (dense layout) or a padded gather + product (sparse layout). No host
+  round-trip: the weights stay on-chip for the histogram fill.
+
+All functions take the *full* proposed parameter vector and gather the spline
+subset via ``table.param_index``; they are vmappable over a chain batch axis.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.precision import FTYPE
+from .monolith import DenseSplineTable, SparseSplineTable
+
+
+def find_segments(
+    knots_x: jnp.ndarray, n_knots: jnp.ndarray, values: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Vectorised segment search over all spline parameters.
+
+    knots_x: [P, K] (+inf padded), n_knots: [P], values: [P]
+    Returns (segment [P] i32, t [P] f32) with the segment clamped to
+    [0, n_knots-2] (cubic extrapolation past the ends, matching the reference
+    kernel's clamped-segment semantics).
+    """
+    values = values.astype(FTYPE)
+    # searchsorted per row: count knots strictly below the value.
+    # dtype=int32 throughout — int64 is unsupported on the TPU backend.
+    below = jnp.sum((knots_x < values[:, None]).astype(jnp.int32), axis=1, dtype=jnp.int32)
+    seg = jnp.clip(below - 1, 0, n_knots - 2)
+    t = values - jnp.take_along_axis(knots_x, seg[:, None], axis=1)[:, 0]
+    return seg.astype(jnp.int32), t.astype(FTYPE)
+
+
+def _cubic(coeffs: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Horner/FMA evaluation; coeffs [..., 4] = (y, b, c, d)."""
+    y, b, c, d = coeffs[..., 0], coeffs[..., 1], coeffs[..., 2], coeffs[..., 3]
+    return y + t * (b + t * (c + t * d))
+
+
+def eval_dense(table: DenseSplineTable, params: jnp.ndarray) -> jnp.ndarray:
+    """Per-event total spline weight from the dense knot-major table.
+
+    params: full proposal vector [NP] -> weights [E] f32.
+
+    For each spline parameter p this is ONE dynamic slice ``coeffs[p, seg_p]``
+    of shape [E, 4] (contiguous in memory) followed by a fused Horner pass;
+    the per-event product folds over the (small) parameter axis.
+    """
+    values = params[table.param_index]
+    seg, t = find_segments(table.knots_x, table.n_knots, values)
+    # Gather the active segment per parameter: [P, E, 4].
+    active = jnp.take_along_axis(
+        table.coeffs, seg[:, None, None, None], axis=1
+    )[:, 0]  # [P, E, 4]
+    w = _cubic(active, t[:, None])  # [P, E]
+    return jnp.prod(w, axis=0)
+
+
+def eval_sparse(table: SparseSplineTable, params: jnp.ndarray) -> jnp.ndarray:
+    """Per-event total spline weight from the sparse flat-spline table.
+
+    params: [NP] -> weights [E] f32. Gathers each spline's active-segment
+    coefficients ([S, 4]), evaluates the cubic, then multiplies each event's
+    (padded) spline set — the reference's per-event product kernel
+    (``EvalOnGPU_TotWeight``) as a gather + row-product.
+    """
+    values = params[table.param_index]
+    seg, t = find_segments(table.knots_x, table.n_knots, values)
+    seg_per_spline = seg[table.spline_param]  # [S+1]
+    t_per_spline = t[table.spline_param]  # [S+1]
+    active = jnp.take_along_axis(
+        table.coeffs, seg_per_spline[:, None, None], axis=1
+    )[:, 0]  # [S+1, 4]
+    w = _cubic(active, t_per_spline)  # [S+1]
+    # Padding rows index the unit spline (last row, response exactly 1).
+    per_event = w[table.event_splines]  # [E, W]
+    return jnp.prod(per_event, axis=1)
+
+
+def eval_dense_batched(table: DenseSplineTable, params: jnp.ndarray) -> jnp.ndarray:
+    """[C, NP] -> [C, E]: vmap of eval_dense over a chain batch axis."""
+    return jax.vmap(lambda p: eval_dense(table, p))(params)
+
+
+def eval_sparse_batched(table: SparseSplineTable, params: jnp.ndarray) -> jnp.ndarray:
+    """[C, NP] -> [C, E]."""
+    return jax.vmap(lambda p: eval_sparse(table, p))(params)

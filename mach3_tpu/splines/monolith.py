@@ -1,0 +1,226 @@
+"""Spline monolith: SoA layouts for per-event systematic-response splines.
+
+TPU-native re-design of the reference's ``SMonolith`` (``Splines/SplineMonolith.h``,
+``Splines/SplineMonolith.cpp:53-250``) and its CUDA mirror
+(``Splines/gpuSplineUtils.cu:337-439``). The reference flattens a ragged
+``[event][param] -> TSpline3*`` master into:
+
+* ``coeff_many`` (nKnots x 4 floats), ``coeff_x`` (shared x-grid per param),
+* ``paramNo_arr`` / ``nKnots_arr`` per spline, per-event index maps,
+
+then evaluates one CUDA thread per spline and one thread per event for the
+weight product, with a device->host copy of per-event totals every step.
+
+Here the monolith is an array program that never leaves the chip. Two layouts:
+
+**Dense** (``DenseSplineTable``): coefficients stored knot-major
+``[P, K, E, 4]`` so that evaluating parameter ``p`` at segment ``s`` is one
+contiguous ``[E, 4]`` dynamic slice — *no gather at all*. Missing
+(event, param) splines hold identity coefficients (y=1, b=c=d=0) so the
+per-event product over parameters just works. Use when ``E*P*K`` fits HBM;
+this is the speed-of-light path (the Pallas kernel consumes this layout).
+
+**Sparse** (``SparseSplineTable``): only non-flat splines stored, flat
+``[S]`` arrays plus a per-event padded index matrix ``[E, W]`` (W = max
+splines/event) mapping into the spline list — the reference's
+``cpu_nParamPerEvent`` ragged map turned into a gather-friendly rectangle.
+A sentinel column points at a unit spline so padding multiplies by 1.
+
+Both carry the same semantics: response(p) evaluated at the parameter value
+with the segment clamped to the knot range (cubic extrapolation at the edges,
+matching ``SplineBase::FindSplineSegment`` + the kernel polynomial,
+``Splines/SplineBase.cpp:44-110``), knot-capped responses, and per-event
+weight = product of its spline responses (events with no splines get 1).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core.logging import get_logger
+from ..core.precision import FTYPE, ITYPE
+from ..params.parameterset import SplineInterpolation
+from .coefficients import build_coefficients
+
+_log = get_logger("splines")
+
+
+@dataclasses.dataclass
+class SplineParamSpec:
+    """Host-side description of one spline systematic before flattening.
+
+    ``x_knots`` is the shared x-grid of this parameter (the reference shares
+    ``coeff_x`` across all splines of a parameter, ``SplineCommon.h:30-50``).
+    ``event_ids[i]`` and ``y_knots[i]`` give the response of event
+    ``event_ids[i]`` at each knot. Events absent from ``event_ids`` have no
+    spline for this parameter (weight 1).
+    """
+
+    name: str
+    param_index: int  # index into the proposed-parameter vector
+    x_knots: np.ndarray  # [K]
+    event_ids: np.ndarray  # [S_p]
+    y_knots: np.ndarray  # [S_p, K]
+    interpolation: SplineInterpolation = SplineInterpolation.TSPLINE3
+    knot_low: float = -np.inf  # knot-weight capping (SplineStructs.h:49-127)
+    knot_high: float = np.inf
+
+
+@struct.dataclass
+class DenseSplineTable:
+    """Knot-major dense coefficient table ``[P, K, E, 4]`` (last axis y,b,c,d)."""
+
+    coeffs: jnp.ndarray  # [P, Kmax, E, 4] f32
+    knots_x: jnp.ndarray  # [P, Kmax] f32, padded with +inf
+    n_knots: jnp.ndarray  # [P] i32
+    param_index: jnp.ndarray  # [P] i32 — map into the proposal vector
+
+    @property
+    def n_spline_params(self) -> int:
+        return self.coeffs.shape[0]
+
+    @property
+    def n_events(self) -> int:
+        return self.coeffs.shape[2]
+
+
+@struct.dataclass
+class SparseSplineTable:
+    """Flat spline list + per-event padded gather map."""
+
+    coeffs: jnp.ndarray  # [S+1, Kmax, 4] f32; row S is the unit spline
+    spline_param: jnp.ndarray  # [S+1] i32 — local spline-param id per spline
+    event_splines: jnp.ndarray  # [E, W] i32 — indices into the spline list (S = pad)
+    knots_x: jnp.ndarray  # [P, Kmax] f32, padded with +inf
+    n_knots: jnp.ndarray  # [P] i32
+    param_index: jnp.ndarray  # [P] i32
+
+    @property
+    def n_splines(self) -> int:
+        return self.coeffs.shape[0] - 1
+
+    @property
+    def n_events(self) -> int:
+        return self.event_splines.shape[0]
+
+
+def _stack_param_knots(specs: Sequence[SplineParamSpec]) -> tuple[np.ndarray, np.ndarray]:
+    kmax = max(len(s.x_knots) for s in specs)
+    knots_x = np.full((len(specs), kmax), np.inf, np.float64)
+    n_knots = np.zeros(len(specs), np.int32)
+    for p, s in enumerate(specs):
+        k = len(s.x_knots)
+        knots_x[p, :k] = s.x_knots
+        n_knots[p] = k
+    return knots_x, n_knots
+
+
+def _spec_coefficients(spec: SplineParamSpec) -> tuple[np.ndarray, ...]:
+    """Knot-capped (y, b, c, d) for all splines of one parameter: each [S_p, K]."""
+    y = np.clip(np.asarray(spec.y_knots, np.float64), spec.knot_low, spec.knot_high)
+    b, c, d = build_coefficients(spec.x_knots, y, spec.interpolation)
+    return y, b, c, d
+
+
+def is_flat(y_knots: np.ndarray, tol: float = 0.0) -> np.ndarray:
+    """Mask of splines whose response is identically 1 (the reference drops
+    these from the monolith entirely, ``SplineMonolith.cpp:53-250``)."""
+    return np.all(np.abs(np.asarray(y_knots) - 1.0) <= tol, axis=-1)
+
+
+def build_dense_table(
+    specs: Sequence[SplineParamSpec], n_events: int
+) -> DenseSplineTable:
+    knots_x, n_knots = _stack_param_knots(specs)
+    kmax = knots_x.shape[1]
+    n_params = len(specs)
+    coeffs = np.zeros((n_params, kmax, n_events, 4), np.float32)
+    coeffs[:, :, :, 0] = 1.0  # identity response for missing splines
+    for p, spec in enumerate(specs):
+        y, b, c, d = _spec_coefficients(spec)
+        ev = np.asarray(spec.event_ids, np.int64)
+        k = len(spec.x_knots)
+        coeffs[p, :k, ev, 0] = y.astype(np.float32)
+        coeffs[p, :k, ev, 1] = b.astype(np.float32)
+        coeffs[p, :k, ev, 2] = c.astype(np.float32)
+        coeffs[p, :k, ev, 3] = d.astype(np.float32)
+        # Pad unused knot rows with the last valid segment so any clamped
+        # segment index stays correct.
+        if k < kmax:
+            coeffs[p, k:, :, :] = coeffs[p, k - 1 : k, :, :]
+    size_mb = coeffs.nbytes / 1e6
+    _log.info(
+        "Dense spline table: %d params x %d knots x %d events = %.1f MB",
+        n_params,
+        kmax,
+        n_events,
+        size_mb,
+    )
+    return DenseSplineTable(
+        coeffs=jnp.asarray(coeffs, FTYPE),
+        knots_x=jnp.asarray(knots_x, FTYPE),
+        n_knots=jnp.asarray(n_knots, ITYPE),
+        param_index=jnp.asarray([s.param_index for s in specs], ITYPE),
+    )
+
+
+def build_sparse_table(
+    specs: Sequence[SplineParamSpec], n_events: int, drop_flat: bool = True
+) -> SparseSplineTable:
+    knots_x, n_knots = _stack_param_knots(specs)
+    kmax = knots_x.shape[1]
+
+    coeff_rows: list[np.ndarray] = []
+    spline_param: list[int] = []
+    per_event: list[list[int]] = [[] for _ in range(n_events)]
+    s_count = 0
+    for p, spec in enumerate(specs):
+        y, b, c, d = _spec_coefficients(spec)
+        flat = is_flat(y) if drop_flat else np.zeros(len(y), bool)
+        k = len(spec.x_knots)
+        for j, ev in enumerate(np.asarray(spec.event_ids, np.int64)):
+            if flat[j]:
+                continue
+            row = np.zeros((kmax, 4), np.float32)
+            row[:k, 0] = y[j]
+            row[:k, 1] = b[j]
+            row[:k, 2] = c[j]
+            row[:k, 3] = d[j]
+            if k < kmax:
+                row[k:] = row[k - 1]
+            coeff_rows.append(row)
+            spline_param.append(p)
+            per_event[int(ev)].append(s_count)
+            s_count += 1
+
+    # Unit spline at index S: response 1 everywhere (padding target).
+    unit = np.zeros((kmax, 4), np.float32)
+    unit[:, 0] = 1.0
+    coeff_rows.append(unit)
+    spline_param.append(0)
+
+    width = max(1, max((len(v) for v in per_event), default=1))
+    event_splines = np.full((n_events, width), s_count, np.int32)  # pad -> unit
+    for e, lst in enumerate(per_event):
+        event_splines[e, : len(lst)] = lst
+
+    coeffs = np.stack(coeff_rows)
+    _log.info(
+        "Sparse spline table: %d splines (of %d possible), width %d, %.1f MB",
+        s_count,
+        sum(len(s.event_ids) for s in specs),
+        width,
+        coeffs.nbytes / 1e6,
+    )
+    return SparseSplineTable(
+        coeffs=jnp.asarray(coeffs, FTYPE),
+        spline_param=jnp.asarray(spline_param, ITYPE),
+        event_splines=jnp.asarray(event_splines, ITYPE),
+        knots_x=jnp.asarray(knots_x, FTYPE),
+        n_knots=jnp.asarray(n_knots, ITYPE),
+        param_index=jnp.asarray([s.param_index for s in specs], ITYPE),
+    )

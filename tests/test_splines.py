@@ -1,0 +1,201 @@
+"""Spline coefficient + monolith evaluation tests (reference semantics:
+``Splines/SplineStructs.h``, ``Splines/SplineMonolith.cpp``)."""
+import numpy as np
+import pytest
+
+from mach3_tpu.params import SplineInterpolation
+from mach3_tpu.splines.coefficients import (
+    akima_coefficients,
+    build_coefficients,
+    evaluate_spline_np,
+    linear_coefficients,
+    monotonic_coefficients,
+    natural_cubic_coefficients,
+)
+from mach3_tpu.splines.monolith import (
+    SplineParamSpec,
+    build_dense_table,
+    build_sparse_table,
+)
+from mach3_tpu.splines.eval import eval_dense, eval_sparse, find_segments
+
+import jax.numpy as jnp
+
+
+X = np.array([-3.0, -1.0, 0.0, 1.0, 3.0])
+Y = np.array([0.7, 0.9, 1.0, 1.15, 1.6])
+
+
+def test_natural_cubic_matches_scipy():
+    from scipy.interpolate import CubicSpline
+
+    cs = CubicSpline(X, Y, bc_type="natural")
+    b, c, d = natural_cubic_coefficients(X, Y)
+    xq = np.linspace(-3, 3, 101)
+    ours = evaluate_spline_np(X, Y, b, c, d, xq)
+    assert np.allclose(ours, cs(xq), atol=1e-10)
+
+
+def test_akima_matches_scipy():
+    from scipy.interpolate import Akima1DInterpolator
+
+    ak = Akima1DInterpolator(X, Y)
+    b, c, d = akima_coefficients(X, Y)
+    xq = np.linspace(-3, 3, 101)
+    ours = evaluate_spline_np(X, Y, b, c, d, xq)
+    assert np.allclose(ours, ak(xq), atol=1e-9)
+
+
+def test_linear_exact_at_midpoints():
+    b, c, d = linear_coefficients(X, Y)
+    xq = 0.5 * (X[:-1] + X[1:])
+    ours = evaluate_spline_np(X, Y, b, c, d, xq)
+    expected = 0.5 * (Y[:-1] + Y[1:])
+    assert np.allclose(ours, expected)
+    assert np.all(c == 0) and np.all(d == 0)
+
+
+def test_all_families_interpolate_knots():
+    for interp in SplineInterpolation:
+        b, c, d = build_coefficients(X, Y, interp)
+        vals = evaluate_spline_np(X, Y, b, c, d, X[:-1])  # interior knot starts
+        assert np.allclose(vals, Y[:-1], atol=1e-12), interp
+        # continuity at knots from the left
+        eps = 1e-9
+        left = evaluate_spline_np(X, Y, b, c, d, X[1:-1] - eps)
+        assert np.allclose(left, Y[1:-1], atol=1e-6), interp
+
+
+def test_monotonic_preserves_monotonicity():
+    y_mono = np.array([0.0, 0.1, 0.5, 0.9, 1.0])
+    b, c, d = monotonic_coefficients(X, y_mono)
+    xq = np.linspace(-3, 3, 1001)
+    vals = evaluate_spline_np(X, y_mono, b, c, d, xq)
+    assert np.all(np.diff(vals) >= -1e-12)
+    # and within the knot envelope per segment
+    assert vals.min() >= -1e-12 and vals.max() <= 1.0 + 1e-12
+
+
+def test_monotonic_zero_tangent_at_extremum():
+    y_bump = np.array([0.0, 1.0, 2.0, 1.0, 0.0])
+    b, c, d = monotonic_coefficients(X, y_bump)
+    xq = np.linspace(-3, 3, 1001)
+    vals = evaluate_spline_np(X, y_bump, b, c, d, xq)
+    assert vals.max() <= 2.0 + 1e-12  # no overshoot past the peak knot
+
+
+def test_find_segments_clamps():
+    knots = jnp.asarray(np.array([[0.0, 1.0, 2.0, np.inf]], np.float32))
+    nk = jnp.asarray([3])
+    seg, t = find_segments(knots, nk, jnp.asarray([1.5]))
+    assert int(seg[0]) == 1 and float(t[0]) == pytest.approx(0.5)
+    seg, t = find_segments(knots, nk, jnp.asarray([-5.0]))
+    assert int(seg[0]) == 0 and float(t[0]) == pytest.approx(-5.0)
+    seg, t = find_segments(knots, nk, jnp.asarray([99.0]))
+    assert int(seg[0]) == 1  # clamped to n_knots - 2
+
+
+def _toy_specs(n_events=50, seed=0):
+    rng = np.random.default_rng(seed)
+    specs = []
+    # param 0: spline for every event, 5 knots
+    y0 = 1.0 + 0.1 * rng.normal(size=(n_events, 5)).cumsum(axis=1)
+    specs.append(
+        SplineParamSpec(
+            name="p0",
+            param_index=2,
+            x_knots=np.array([-2.0, -1.0, 0.0, 1.0, 2.0]),
+            event_ids=np.arange(n_events),
+            y_knots=y0,
+        )
+    )
+    # param 1: spline for half the events, 3 knots, some flat
+    ids = np.arange(0, n_events, 2)
+    y1 = 1.0 + 0.2 * rng.normal(size=(len(ids), 3))
+    y1[::5] = 1.0  # flat splines -> dropped in sparse table
+    specs.append(
+        SplineParamSpec(
+            name="p1",
+            param_index=4,
+            x_knots=np.array([-3.0, 0.0, 3.0]),
+            event_ids=ids,
+            y_knots=y1,
+            interpolation=SplineInterpolation.MONOTONIC,
+        )
+    )
+    return specs
+
+
+def _numpy_oracle(specs, n_events, full_params):
+    total = np.ones(n_events)
+    for spec in specs:
+        val = full_params[spec.param_index]
+        y = np.asarray(spec.y_knots, float)
+        b, c, d = build_coefficients(spec.x_knots, y, spec.interpolation)
+        for j, ev in enumerate(spec.event_ids):
+            x = spec.x_knots
+            seg = np.clip(np.searchsorted(x, val, side="right") - 1, 0, len(x) - 2)
+            t = val - x[seg]
+            w = y[j, seg] + b[j, seg] * t + c[j, seg] * t**2 + d[j, seg] * t**3
+            total[ev] *= w
+    return total
+
+
+@pytest.mark.parametrize("value", [-1.3, 0.0, 0.7, 2.5, -4.0])
+def test_dense_and_sparse_match_oracle(value):
+    n_events = 50
+    specs = _toy_specs(n_events)
+    full_params = np.zeros(6)
+    full_params[2] = value
+    full_params[4] = value * 0.5
+
+    dense = build_dense_table(specs, n_events)
+    sparse = build_sparse_table(specs, n_events)
+    pvec = jnp.asarray(full_params)
+
+    w_dense = np.asarray(eval_dense(dense, pvec))
+    w_sparse = np.asarray(eval_sparse(sparse, pvec))
+    oracle = _numpy_oracle(specs, n_events, full_params)
+
+    assert np.allclose(w_dense, oracle, rtol=2e-5)
+    assert np.allclose(w_sparse, oracle, rtol=2e-5)
+    assert np.allclose(w_dense, w_sparse, rtol=2e-5)
+
+
+def test_flat_param_values_give_unit_weight():
+    n_events = 20
+    specs = _toy_specs(n_events)
+    # At the nominal point x=0 all knots were built around 1 but not exactly 1;
+    # instead check that an all-flat spline param gives exactly 1.
+    flat_spec = SplineParamSpec(
+        name="flat",
+        param_index=0,
+        x_knots=np.array([-1.0, 0.0, 1.0]),
+        event_ids=np.arange(n_events),
+        y_knots=np.ones((n_events, 3)),
+    )
+    dense = build_dense_table([flat_spec], n_events)
+    sparse = build_sparse_table([flat_spec], n_events)
+    pvec = jnp.asarray(np.array([0.37]))
+    assert np.allclose(np.asarray(eval_dense(dense, pvec)), 1.0)
+    assert np.allclose(np.asarray(eval_sparse(sparse, pvec)), 1.0)
+    # sparse table dropped every flat spline
+    assert sparse.n_splines == 0
+
+
+def test_knot_capping():
+    n_events = 4
+    spec = SplineParamSpec(
+        name="capped",
+        param_index=0,
+        x_knots=np.array([-1.0, 0.0, 1.0]),
+        event_ids=np.arange(n_events),
+        y_knots=np.array([[5.0, 1.0, -3.0]] * n_events),
+        knot_low=0.0,
+        knot_high=2.0,
+    )
+    dense = build_dense_table([spec], n_events)
+    w_low = np.asarray(eval_dense(dense, jnp.asarray([-1.0])))
+    w_high = np.asarray(eval_dense(dense, jnp.asarray([1.0])))
+    assert np.allclose(w_low, 2.0)  # capped from 5
+    assert np.allclose(w_high, 0.0)  # capped from -3
