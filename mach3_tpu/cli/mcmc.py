@@ -1,0 +1,64 @@
+"""mach3-mcmc — run an MCMC fit from YAML configs.
+
+CLI equivalent of the reference's experiment executables
+(``README.md:244-263`` pattern: ``MCMCTutorial config.yaml [overrides]``).
+Accepts the same override styles as ``MaCh3ManagerFactory``:
+``General:MCMC:NSteps:50000`` and ``--override extra.yaml``.
+
+Currently wires the in-repo tutorial toy experiment (an experiment-plugin
+registry is the extension point for real experiments).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("configs", nargs="*", help="YAML config files and Key:Sub:Value overrides")
+    parser.add_argument("--output", "-o", default="chain.npz")
+    parser.add_argument("--checkpoint", default=None, help="Resume from this checkpoint file")
+    parser.add_argument("--experiment", default="toy", help="Experiment to fit (toy)")
+    from .common import add_common_args, setup_platform
+
+    add_common_args(parser)
+    args = parser.parse_args(argv)
+    setup_platform(args)
+
+    from ..core.logging import get_logger
+    from ..diagnostics.chain_io import load_checkpoint, save_chain, save_checkpoint
+    from ..fitters.factory import make_fitter, manager_from_args
+    from ..tutorial.toy import build_toy
+
+    log = get_logger("cli.mcmc")
+    cfg = manager_from_args(args.configs)
+
+    if args.experiment != "toy":
+        log.error("Unknown experiment '%s' (only 'toy' is built-in)", args.experiment)
+        return 2
+    toy = build_toy(
+        n_events=int(cfg.get("Toy.NEvents", 20000)),
+        seed=int(cfg.get("Toy.Seed", 1234)),
+    )
+    fitter = make_fitter(cfg, toy.model, seed=args.seed)
+    if args.checkpoint:
+        load_checkpoint(args.checkpoint, fitter)
+
+    n_steps = int(cfg.get("General.MCMC.NSteps", 1000))
+
+    def progress(done, state, chunk):
+        acc = float(np.asarray(state.n_accepted).mean()) / max(int(state.step), 1)
+        log.info("step %d/%d  acc %.3f  nll %.2f", done, n_steps, acc, float(chunk["nll"][-1].mean()))
+
+    out = fitter.run(n_steps=n_steps, callback=progress)
+    save_chain(args.output, out, toy.names, config_yaml=cfg.to_yaml())
+    save_checkpoint(args.output + ".ckpt", fitter, toy.names, cfg.to_yaml())
+    log.info("Wrote %s (+.ckpt)", args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,163 @@
+"""Chain storage, merging, and checkpoint/resume.
+
+Replaces the reference's ROOT-based chain persistence:
+
+* the "posteriors" TTree with per-step branches (param values, LogL, accProb,
+  step, per-sample/per-syst LLH — ``Fitters/FitterBase.cpp:153-205``) becomes
+  a compressed ``.npz`` chain file with a JSON metadata header carrying the
+  full YAML config, framework version, and parameter names (the reference
+  embeds config + version as TMacro in every output, ``FitterBase.cpp:79``);
+* ``CombineMaCh3Chains`` (``Diagnostics/CombineMaCh3Chains.cpp``) becomes
+  :func:`combine_chains`, with the same guarantee: refuse to merge chains from
+  differing versions or configs;
+* ``StartFromPreviousFit`` (``FitterBase.cpp:348+``, ``MCMCBase.cpp:149-173``)
+  becomes :func:`load_checkpoint` — the LAST state (params, rng key, step
+  counter, adaptive moments) is stored alongside the draws so a fit resumes
+  exactly;
+* the periodic ``AutoSave`` becomes atomic re-writes at chunk boundaries.
+"""
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any
+
+import numpy as np
+
+from .. import __version__
+from ..core.exceptions import MaCh3Error
+from ..core.logging import get_logger
+
+_log = get_logger("chain_io")
+
+
+def save_chain(
+    path: str,
+    draws: dict[str, np.ndarray],
+    names: list[str],
+    config_yaml: str = "",
+    extra_meta: dict[str, Any] | None = None,
+    state: dict[str, np.ndarray] | None = None,
+) -> None:
+    """Atomically write a chain file.
+
+    draws: output arrays from the fitter (theta [S, C, P], nll, acc_prob, ...).
+    state: final sampler state for exact resume (theta, key_data, step,
+    adaptive moments).
+    """
+    meta = {
+        "version": __version__,
+        "names": names,
+        "config": config_yaml,
+        **(extra_meta or {}),
+    }
+    payload = {f"draw_{k}": np.asarray(v) for k, v in draws.items()}
+    if state:
+        payload.update({f"state_{k}": np.asarray(v) for k, v in state.items()})
+    payload["meta_json"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    os.close(fd)
+    try:
+        np.savez_compressed(tmp, **payload)
+        os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
+    finally:
+        for p in (tmp, tmp + ".npz"):
+            if os.path.exists(p):
+                os.remove(p)
+    _log.info("Saved chain to %s (%d draw arrays)", path, len(draws))
+
+
+def load_chain(path: str) -> tuple[dict[str, np.ndarray], dict[str, Any], dict[str, np.ndarray]]:
+    """Returns (draws, meta, state)."""
+    with np.load(path, allow_pickle=False) as f:
+        meta = json.loads(bytes(f["meta_json"]).decode())
+        draws = {k[5:]: f[k] for k in f.files if k.startswith("draw_")}
+        state = {k[6:]: f[k] for k in f.files if k.startswith("state_")}
+    return draws, meta, state
+
+
+def combine_chains(paths: list[str], out_path: str, check: bool = True) -> None:
+    """Merge chain files along the step axis (multi-run) — with the reference's
+    reproducibility enforcement: identical version + config required
+    (``CombineMaCh3Chains.cpp`` header checks)."""
+    if not paths:
+        raise MaCh3Error("No chain files to combine")
+    all_draws, metas = [], []
+    for p in paths:
+        draws, meta, _ = load_chain(p)
+        all_draws.append(draws)
+        metas.append(meta)
+    if check:
+        ref = metas[0]
+        for p, m in zip(paths[1:], metas[1:]):
+            if m.get("version") != ref.get("version"):
+                raise MaCh3Error(
+                    f"Version mismatch: {paths[0]} has {ref.get('version')}, "
+                    f"{p} has {m.get('version')}"
+                )
+            if m.get("config") != ref.get("config"):
+                raise MaCh3Error(f"Config mismatch between {paths[0]} and {p}")
+            if m.get("names") != ref.get("names"):
+                raise MaCh3Error(f"Parameter-name mismatch between {paths[0]} and {p}")
+    keys = all_draws[0].keys()
+    merged = {k: np.concatenate([d[k] for d in all_draws], axis=0) for k in keys}
+    save_chain(out_path, merged, metas[0]["names"], metas[0].get("config", ""),
+               extra_meta={"combined_from": paths})
+
+
+def save_checkpoint(path: str, fitter, names: list[str], config_yaml: str = "") -> None:
+    """Persist the exact sampler state for resume (no draws)."""
+    import jax
+
+    st = fitter.state
+    state = {
+        "theta": np.asarray(st.theta),
+        "nll": np.asarray(st.nll),
+        "key_data": np.asarray(jax.random.key_data(st.key)),
+        "step": np.asarray(st.step),
+        "n_accepted": np.asarray(st.n_accepted),
+    }
+    if st.adaptive is not None:
+        state.update(
+            {
+                "ad_mean": np.asarray(st.adaptive.mean),
+                "ad_cov": np.asarray(st.adaptive.cov),
+                "ad_chol": np.asarray(st.adaptive.chol),
+                "ad_n": np.asarray(st.adaptive.n_updates),
+                "ad_log_scale": np.asarray(st.adaptive.log_scale),
+            }
+        )
+    save_chain(path, {}, names, config_yaml, state=state)
+
+
+def load_checkpoint(path: str, fitter) -> None:
+    """Restore a fitter's state from a checkpoint (``StartFromPreviousFit``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..fitters.mcmc import AdaptiveState, ChainState
+
+    _, meta, state = load_chain(path)
+    adaptive = None
+    if "ad_mean" in state and fitter.state.adaptive is not None:
+        adaptive = AdaptiveState(
+            mean=jnp.asarray(state["ad_mean"]),
+            cov=jnp.asarray(state["ad_cov"]),
+            chol=jnp.asarray(state["ad_chol"]),
+            n_updates=jnp.asarray(state["ad_n"]),
+            log_scale=jnp.asarray(state.get("ad_log_scale", 0.0)),
+        )
+    fitter.state = ChainState(
+        theta=jnp.asarray(state["theta"]),
+        nll=jnp.asarray(state["nll"]),
+        key=jax.random.wrap_key_data(jnp.asarray(state["key_data"])),
+        step=jnp.asarray(state["step"]),
+        n_accepted=jnp.asarray(state["n_accepted"]),
+        adaptive=adaptive,
+    )
+    _log.info("Resumed fit at step %d from %s", int(state["step"]), path)

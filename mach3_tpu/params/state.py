@@ -96,7 +96,9 @@ def propose_step(
     current: [P] -> proposed: [P]. vmap over chains for the batch axis.
     """
     key_norm, key_flip = jax.random.split(key)
-    z = jax.random.normal(key_norm, (model.n_params,), dtype=ATYPE)
+    # z dimension follows the throw-matrix columns: square Cholesky normally,
+    # rectangular [P, K] when a PCA-reduced basis is in use (params/pca.py).
+    z = jax.random.normal(key_norm, (model.chol.shape[1],), dtype=ATYPE)
     # Correlated throw: chol @ z, scaled per-parameter. Fixed params have
     # step_scale 0 so they never move (reference zeroes their randParams).
     delta = model.chol @ z

@@ -152,7 +152,8 @@ class SampleModel:
     def _shifted_kinematics(self, params: jnp.ndarray) -> jnp.ndarray:
         kin = self.kin
         for s in self.shifts:
-            kin = kin.at[s.var_row].set(s.fn(params[s.param_index], kin[s.var_row], kin))
+            shifted = s.fn(params[s.param_index], kin[s.var_row], kin)
+            kin = kin.at[s.var_row].set(shifted.astype(FTYPE))
         return kin
 
     # ---------------------------------------------------------- reweight

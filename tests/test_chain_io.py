@@ -1,0 +1,100 @@
+"""Chain persistence: save/load round-trip, combine enforcement, resume
+(reference: ``CombineMaCh3Chains.cpp``, ``StartFromPreviousFit``)."""
+import numpy as np
+import pytest
+
+from mach3_tpu.core.exceptions import MaCh3Error
+from mach3_tpu.diagnostics.chain_io import (
+    combine_chains,
+    load_chain,
+    load_checkpoint,
+    save_chain,
+    save_checkpoint,
+)
+
+
+def _draws(seed=0, s=50):
+    rng = np.random.default_rng(seed)
+    return {
+        "theta": rng.normal(size=(s, 4, 3)),
+        "nll": rng.normal(size=(s, 4)),
+    }
+
+
+def test_round_trip(tmp_path):
+    p = str(tmp_path / "chain.npz")
+    d = _draws()
+    save_chain(p, d, names=["a", "b", "c"], config_yaml="General: {NSteps: 10}")
+    loaded, meta, state = load_chain(p)
+    assert np.allclose(loaded["theta"], d["theta"])
+    assert meta["names"] == ["a", "b", "c"]
+    assert "NSteps" in meta["config"]
+    assert state == {}
+
+
+def test_combine_concatenates(tmp_path):
+    p1, p2, out = (str(tmp_path / f) for f in ["c1.npz", "c2.npz", "out.npz"])
+    save_chain(p1, _draws(1), ["a", "b", "c"], "cfg")
+    save_chain(p2, _draws(2), ["a", "b", "c"], "cfg")
+    combine_chains([p1, p2], out)
+    merged, meta, _ = load_chain(out)
+    assert merged["theta"].shape[0] == 100
+    assert meta["combined_from"] == [p1, p2]
+
+
+def test_combine_refuses_config_mismatch(tmp_path):
+    p1, p2 = str(tmp_path / "c1.npz"), str(tmp_path / "c2.npz")
+    save_chain(p1, _draws(1), ["a", "b", "c"], "cfg_A")
+    save_chain(p2, _draws(2), ["a", "b", "c"], "cfg_B")
+    with pytest.raises(MaCh3Error, match="Config mismatch"):
+        combine_chains([p1, p2], str(tmp_path / "out.npz"))
+
+
+def test_combine_refuses_name_mismatch(tmp_path):
+    p1, p2 = str(tmp_path / "c1.npz"), str(tmp_path / "c2.npz")
+    save_chain(p1, _draws(1), ["a", "b", "c"], "cfg")
+    save_chain(p2, _draws(2), ["a", "b", "X"], "cfg")
+    with pytest.raises(MaCh3Error, match="name mismatch"):
+        combine_chains([p1, p2], str(tmp_path / "out.npz"))
+
+
+def test_checkpoint_resume_exact(tmp_path):
+    """A checkpointed fit resumed must produce the identical continuation."""
+    from mach3_tpu.fitters import FitModel, MCMCConfig, MR2T2
+    from mach3_tpu.params.parameterset import ParameterSet
+
+    ps = ParameterSet.from_config(
+        {
+            "Systematics": [
+                {
+                    "Systematic": {
+                        "Names": {"FancyName": "a"},
+                        "ParameterValues": {"PreFitValue": 0.0},
+                        "StepScale": {"MCMC": 1.0},
+                        "Error": 1.0,
+                        "ParameterBounds": [-10, 10],
+                        "Type": "Norm",
+                    }
+                }
+            ]
+        }
+    )
+    model = FitModel.build([ps], [])
+    init = np.zeros((4, 1))
+
+    # Continuous run
+    f_ref = MR2T2(model, MCMCConfig(chunk_size=50), init, seed=42)
+    out_ref = f_ref.run(n_steps=100)
+
+    # Interrupted + resumed run
+    f_a = MR2T2(model, MCMCConfig(chunk_size=50), init, seed=42)
+    f_a.run(n_steps=50)
+    ckpt = str(tmp_path / "ckpt.npz")
+    save_checkpoint(ckpt, f_a, ["a"])
+
+    f_b = MR2T2(model, MCMCConfig(chunk_size=50), init, seed=0)  # different seed
+    load_checkpoint(ckpt, f_b)
+    out_b = f_b.run(n_steps=50)
+
+    assert np.allclose(out_ref["theta"][50:], out_b["theta"])
+    assert int(f_b.state.step) == 100

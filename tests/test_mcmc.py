@@ -1,0 +1,136 @@
+"""MCMC correctness: exact sampling of a known Gaussian posterior, adaptive
+covariance behaviour, annealing, out-of-bounds handling
+(reference: ``Fitters/MR2T2.cpp``, ``Fitters/MCMCBase.cpp``,
+``Parameters/AdaptiveMCMCHandler.cpp``)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mach3_tpu.fitters.mcmc import MR2T2, MCMCConfig
+from mach3_tpu.fitters.model import FitModel
+from mach3_tpu.params.parameterset import ParameterSet
+
+
+def _gauss_param(name, prefit, error, step=1.0, bounds=(-50, 50)):
+    return {
+        "Systematic": {
+            "Names": {"FancyName": name},
+            "ParameterValues": {"PreFitValue": prefit},
+            "StepScale": {"MCMC": step},
+            "Error": error,
+            "ParameterBounds": list(bounds),
+            "Type": "Norm",
+        }
+    }
+
+
+def _prior_only_model(params):
+    ps = ParameterSet.from_config({"Systematics": params}, name="g")
+    return FitModel.build([ps], []), ps
+
+
+def test_samples_gaussian_prior_exactly():
+    """With no samples, MR2T2 must sample the Gaussian prior: check moments."""
+    model, ps = _prior_only_model(
+        [_gauss_param("a", 1.0, 0.5, step=2.4), _gauss_param("b", -2.0, 2.0, step=2.4)]
+    )
+    init = np.tile(np.asarray(ps.prefit), (16, 1))
+    fitter = MR2T2(model, MCMCConfig(chunk_size=250), init, seed=5)
+    out = fitter.run(n_steps=4000)
+    draws = out["theta"][1000:].reshape(-1, 2)  # burn-in
+    assert np.mean(out["accepted"][1000:]) > 0.1
+    assert np.mean(draws[:, 0]) == pytest.approx(1.0, abs=0.05)
+    assert np.std(draws[:, 0]) == pytest.approx(0.5, rel=0.12)
+    assert np.mean(draws[:, 1]) == pytest.approx(-2.0, abs=0.2)
+    assert np.std(draws[:, 1]) == pytest.approx(2.0, rel=0.12)
+
+
+def test_flat_prior_within_bounds_is_uniform():
+    model, ps = _prior_only_model(
+        [
+            {
+                "Systematic": {
+                    "Names": {"FancyName": "u"},
+                    "ParameterValues": {"PreFitValue": 0.5},
+                    "StepScale": {"MCMC": 1.0},
+                    "Error": 0.5,
+                    "ParameterBounds": [0.0, 1.0],
+                    "FlatPrior": True,
+                    "Type": "Norm",
+                }
+            }
+        ]
+    )
+    init = np.full((8, 1), 0.5)
+    fitter = MR2T2(model, MCMCConfig(chunk_size=500), init, seed=6)
+    out = fitter.run(n_steps=3000)
+    draws = out["theta"][500:].reshape(-1)
+    assert draws.min() >= 0.0 and draws.max() <= 1.0
+    # Uniform moments: mean 0.5, std sqrt(1/12)~0.2887
+    assert np.mean(draws) == pytest.approx(0.5, abs=0.03)
+    assert np.std(draws) == pytest.approx(0.2887, rel=0.1)
+
+
+def test_out_of_bounds_never_accepted():
+    model, ps = _prior_only_model([_gauss_param("a", 0.0, 5.0, step=1.0, bounds=(-1, 1))])
+    init = np.zeros((4, 1))
+    fitter = MR2T2(model, MCMCConfig(chunk_size=200), init, seed=7)
+    out = fitter.run(n_steps=1000)
+    assert np.all(np.abs(out["theta"]) <= 1.0)
+
+
+def test_adaptive_covariance_converges_to_target():
+    """Pooled Haario adaptation should approach the true posterior covariance."""
+    model, ps = _prior_only_model(
+        [
+            _gauss_param("a", 0.0, 1.0, step=0.05),  # deliberately bad initial scale
+            _gauss_param("b", 0.0, 3.0, step=0.05),
+        ]
+    )
+    init = np.zeros((32, 2))
+    cfg = MCMCConfig(
+        adaptive=True,
+        adaption_start_update=50,
+        adaption_start_throw=300,
+        adaption_update_step=50,
+        chunk_size=250,
+    )
+    fitter = MR2T2(model, cfg, init, seed=8)
+    fitter.run(n_steps=3000)
+    ad = fitter.state.adaptive
+    cov = np.asarray(ad.cov)
+    # diag should approach [1, 9]
+    assert cov[0, 0] == pytest.approx(1.0, rel=0.35)
+    assert cov[1, 1] == pytest.approx(9.0, rel=0.35)
+    assert abs(cov[0, 1]) < 1.0
+    # acceptance should be healthy after adaptation
+    acc_late = fitter.acceptance_rate.mean()
+    assert acc_late > 0.1
+
+
+def test_annealing_cools_to_greedy():
+    """Reference annealing (``MR2T2.cpp:103-115``): acc = exp(-dL/exp(-step/T)),
+    so the effective temperature exp(-step/T) decays with step — the sampler
+    becomes greedy (accepting only downhill moves) as it cools."""
+    model, ps = _prior_only_model([_gauss_param("a", 0.0, 1.0, step=3.0)])
+    init = np.full((8, 1), 3.0)  # start uphill
+    annealed = MR2T2(model, MCMCConfig(anneal_temp=100.0, chunk_size=200), init, seed=9)
+    cold = MR2T2(model, MCMCConfig(chunk_size=200), init, seed=9)
+    out_a = annealed.run(n_steps=800)
+    out_c = cold.run(n_steps=800)
+    # late acceptance lower than plain Metropolis (greedy phase)
+    assert out_a["accepted"][600:].mean() < out_c["accepted"][600:].mean()
+    # and it has descended towards the mode
+    assert np.abs(out_a["theta"][-1]).mean() < 1.5
+
+
+def test_resume_continues_chain():
+    """Chunked runs resume exactly: state carries across run() calls."""
+    model, ps = _prior_only_model([_gauss_param("a", 0.0, 1.0)])
+    init = np.zeros((4, 1))
+    f1 = MR2T2(model, MCMCConfig(chunk_size=100), init, seed=10)
+    f1.run(n_steps=100)
+    step_mid = int(f1.state.step)
+    f1.run(n_steps=100)
+    assert int(f1.state.step) == step_mid + 100
