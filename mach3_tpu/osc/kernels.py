@@ -112,7 +112,11 @@ def _phase_dd(a: jnp.ndarray, b: jnp.ndarray, length: jnp.ndarray) -> tuple[jnp.
 
 
 def herm_evolution(
-    hr: jnp.ndarray, hi: jnp.ndarray, length: jnp.ndarray
+    hr: jnp.ndarray,
+    hi: jnp.ndarray,
+    length: jnp.ndarray,
+    phase_dtype=None,
+    h_phase: Pair | None = None,
 ) -> Pair:
     """exp(-i H L) for a Hermitian 3x3 batch, all-real ops.
 
@@ -125,19 +129,37 @@ def herm_evolution(
     the degenerate limit); the second difference is guarded — it only becomes
     ill-conditioned under *triple* degeneracy, where its matrix factor
     (H − λ1)(H − λ2) vanishes anyway.
-    """
-    length = jnp.asarray(length, hr.dtype)
-    lam = jnp.sort(herm_eigvals(hr, hi), axis=-1)  # ascending [..., 3]
-    l1, l2, l3 = lam[..., 0], lam[..., 1], lam[..., 2]
 
-    p1 = l1 * length
+    phase_dtype: dtype for the eigenvalue + phase computation. For f32 inputs
+    with large phases (atmospheric: λL ~ 1e3 rad) pass float64 — the
+    eigenvalues and trigonometry are per-grid-point scalars (cheap even
+    emulated on TPU), while the 3x3 matrix work stays in the input dtype.
+    h_phase: optional full-precision (hr, hi) pair for the eigenvalue path —
+    required for phase accuracy when hr itself was already rounded to f32.
+    """
+    phase_dtype = phase_dtype or hr.dtype
+    length_p = jnp.asarray(length, phase_dtype)
+    hr_p, hi_p = h_phase if h_phase is not None else (hr, hi)
+    hr_p = hr_p.astype(phase_dtype)
+    hi_p = hi_p.astype(phase_dtype)
+    lam_p = jnp.sort(herm_eigvals(hr_p, hi_p), axis=-1)  # ascending [..., 3]
+    l1, l2, l3 = lam_p[..., 0], lam_p[..., 1], lam_p[..., 2]
+
+    p1 = l1 * length_p
     f1_r, f1_i = jnp.cos(p1), -jnp.sin(p1)
-    f12_r, f12_i = _phase_dd(l1, l2, length)
-    f23_r, f23_i = _phase_dd(l2, l3, length)
+    f12_r, f12_i = _phase_dd(l1, l2, length_p)
+    f23_r, f23_i = _phase_dd(l2, l3, length_p)
     d13 = l1 - l3
     inv13 = jnp.where(jnp.abs(d13) < 1e-30, 0.0, 1.0 / jnp.where(d13 == 0, 1.0, d13))
     f123_r = (f12_r - f23_r) * inv13
     f123_i = (f12_i - f23_i) * inv13
+
+    # Cast the scalar coefficient fields back to the matrix dtype.
+    lam = lam_p.astype(hr.dtype)
+    l1, l2 = lam[..., 0], lam[..., 1]
+    f1_r, f1_i = f1_r.astype(hr.dtype), f1_i.astype(hr.dtype)
+    f12_r, f12_i = f12_r.astype(hr.dtype), f12_i.astype(hr.dtype)
+    f123_r, f123_i = f123_r.astype(hr.dtype), f123_i.astype(hr.dtype)
 
     eye = jnp.eye(3, dtype=hr.dtype)
     m1_r = hr - l1[..., None, None] * eye  # H - λ1 (imag part is hi)

@@ -75,20 +75,30 @@ def probabilities_const_density(
 ) -> jnp.ndarray:
     """P[..., alpha, beta] over an energy batch for one baseline and constant
     density (the beam case; NuFastLinear equivalent). rho=0 gives vacuum."""
+    # Build the Hamiltonian in full precision; the 3x3 matrix work runs in
+    # ``dtype`` while eigenvalues + phases always use f64 — large-baseline /
+    # low-E corners reach λL ~ 1e3 rad where f32 phases visibly err, and the
+    # per-grid-point scalar cost is small even under TPU f64 emulation.
     ur, ui = pmns_matrix_real(
-        params.theta12, params.theta13, params.theta23, params.delta_cp, dtype=dtype
+        params.theta12, params.theta13, params.theta23, params.delta_cp, dtype=ATYPE
     )
-    hr, hi = hamiltonian_real(
+    hr64, hi64 = hamiltonian_real(
         ur,
         ui,
         params.dm21_sq,
         params.dm31_sq,
-        jnp.asarray(energy, dtype),
+        jnp.asarray(energy, ATYPE),
         rho=rho,
         ye=ye,
         antineutrino=antineutrino,
     )
-    amp = herm_evolution(hr, hi, jnp.asarray(length, dtype))
+    amp = herm_evolution(
+        hr64.astype(dtype),
+        hi64.astype(dtype),
+        jnp.asarray(length, dtype),
+        phase_dtype=ATYPE,
+        h_phase=(hr64, hi64),
+    )
     # amp[..., beta, alpha] = <beta| U |alpha>  ->  P[..., alpha, beta]
     p = c_abs2(amp)
     return jnp.swapaxes(p, -1, -2)
@@ -111,11 +121,11 @@ def probabilities_layered(
     the identity. The scan is over the (static) layer axis.
     """
     ur, ui = pmns_matrix_real(
-        params.theta12, params.theta13, params.theta23, params.delta_cp, dtype=dtype
+        params.theta12, params.theta13, params.theta23, params.delta_cp, dtype=ATYPE
     )
-    energy = jnp.asarray(energy, dtype)
-    layer_lengths = jnp.asarray(layer_lengths, dtype)
-    layer_rho = jnp.asarray(layer_rho, dtype)
+    energy = jnp.asarray(energy, ATYPE)
+    layer_lengths = jnp.asarray(layer_lengths, ATYPE)
+    layer_rho = jnp.asarray(layer_rho, ATYPE)
     lead = jnp.broadcast_shapes(layer_lengths.shape[:-1], layer_rho.shape[:-1])
     n_layers = layer_lengths.shape[-1]
     ne = energy.shape[0]
@@ -124,7 +134,7 @@ def probabilities_layered(
 
     def step(carry, layer):
         ll, rr = layer  # each [...]
-        hr, hi = hamiltonian_real(
+        hr64, hi64 = hamiltonian_real(
             ur,
             ui,
             params.dm21_sq,
@@ -134,7 +144,13 @@ def probabilities_layered(
             ye=ye,
             antineutrino=antineutrino,
         )
-        op = herm_evolution(hr, hi, jnp.broadcast_to(ll[..., None], batch_shape))
+        op = herm_evolution(
+            hr64.astype(dtype),
+            hi64.astype(dtype),
+            jnp.broadcast_to(ll[..., None], batch_shape).astype(dtype),
+            phase_dtype=ATYPE,
+            h_phase=(hr64, hi64),
+        )
         return c_matmul(op, carry), None
 
     eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), batch_shape + (3, 3))

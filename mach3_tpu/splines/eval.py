@@ -50,21 +50,33 @@ def _cubic(coeffs: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
 
 
 def eval_dense(table: DenseSplineTable, params: jnp.ndarray) -> jnp.ndarray:
-    """Per-event total spline weight from the dense knot-major table.
+    """Per-event total spline weight from the dense matmul-layout table.
 
     params: full proposal vector [NP] -> weights [E] f32.
 
-    For each spline parameter p this is ONE dynamic slice ``coeffs[p, seg_p]``
-    of shape [E, 4] (contiguous in memory) followed by a fused Horner pass;
-    the per-event product folds over the (small) parameter axis.
+    MXU formulation: the response of parameter p is a polynomial in the local
+    coordinate t whose coefficients live in the active segment row —
+    equivalently ``selector[K, 4] . coeffs[p, K, 4, E]`` where the selector is
+    ``onehot(seg_p) x (1, t, t², t³)``. Contracting (K, 4) is a matmul with
+    reduction size K*4; under ``vmap`` over chains the selector gains a batch
+    row and the whole chain batch becomes ONE batched matmul per table —
+    coefficients are read once for all chains (the reference's CUDA kernel
+    re-reads per thread; the earlier gather formulation re-read per chain).
     """
     values = params[table.param_index]
     seg, t = find_segments(table.knots_x, table.n_knots, values)
-    # Gather the active segment per parameter: [P, E, 4].
-    active = jnp.take_along_axis(
-        table.coeffs, seg[:, None, None, None], axis=1
-    )[:, 0]  # [P, E, 4]
-    w = _cubic(active, t[:, None])  # [P, E]
+    kmax = table.knots_x.shape[1]
+    # Selector [P, K, 4]: one-hot over the active segment x powers of t.
+    seg_onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (table.n_spline_params, kmax), 1)
+        == seg[:, None]
+    ).astype(FTYPE)
+    tp = jnp.stack([jnp.ones_like(t), t, t * t, t * t * t], axis=-1)  # [P, 4]
+    selector = seg_onehot[:, :, None] * tp[:, None, :]  # [P, K, 4]
+    # Batched contraction over (K, 4): [P, K, 4] . [P, K, 4, E] -> [P, E].
+    w = jnp.einsum(
+        "pkc,pkce->pe", selector, table.coeffs, preferred_element_type=FTYPE
+    )
     return jnp.prod(w, axis=0)
 
 

@@ -72,9 +72,17 @@ class SplineParamSpec:
 
 @struct.dataclass
 class DenseSplineTable:
-    """Knot-major dense coefficient table ``[P, K, E, 4]`` (last axis y,b,c,d)."""
+    """Dense coefficient table in matmul layout ``[P, K, 4, E]``.
 
-    coeffs: jnp.ndarray  # [P, Kmax, E, 4] f32
+    The layout is chosen so that evaluation over a chain batch is a batched
+    matmul on the MXU: each chain's (segment, t) for parameter p defines a
+    sparse coefficient-selector row ``T[c] = onehot(seg) x (1, t, t², t³)`` of
+    length K*4, and the per-event responses are ``T @ coeffs[p]`` with
+    ``coeffs[p]`` reshaped ``[K*4, E]`` — the coefficient table is read ONCE
+    for all chains instead of gathered per chain.
+    """
+
+    coeffs: jnp.ndarray  # [P, Kmax, 4, E] f32 (y, b, c, d along axis 2)
     knots_x: jnp.ndarray  # [P, Kmax] f32, padded with +inf
     n_knots: jnp.ndarray  # [P] i32
     param_index: jnp.ndarray  # [P] i32 — map into the proposal vector
@@ -85,7 +93,7 @@ class DenseSplineTable:
 
     @property
     def n_events(self) -> int:
-        return self.coeffs.shape[2]
+        return self.coeffs.shape[3]
 
 
 @struct.dataclass
@@ -138,16 +146,16 @@ def build_dense_table(
     knots_x, n_knots = _stack_param_knots(specs)
     kmax = knots_x.shape[1]
     n_params = len(specs)
-    coeffs = np.zeros((n_params, kmax, n_events, 4), np.float32)
-    coeffs[:, :, :, 0] = 1.0  # identity response for missing splines
+    coeffs = np.zeros((n_params, kmax, 4, n_events), np.float32)
+    coeffs[:, :, 0, :] = 1.0  # identity response for missing splines
     for p, spec in enumerate(specs):
         y, b, c, d = _spec_coefficients(spec)
         ev = np.asarray(spec.event_ids, np.int64)
         k = len(spec.x_knots)
-        coeffs[p, :k, ev, 0] = y.astype(np.float32)
-        coeffs[p, :k, ev, 1] = b.astype(np.float32)
-        coeffs[p, :k, ev, 2] = c.astype(np.float32)
-        coeffs[p, :k, ev, 3] = d.astype(np.float32)
+        coeffs[p, :k, 0, ev] = y.astype(np.float32)
+        coeffs[p, :k, 1, ev] = b.astype(np.float32)
+        coeffs[p, :k, 2, ev] = c.astype(np.float32)
+        coeffs[p, :k, 3, ev] = d.astype(np.float32)
         # Pad unused knot rows with the last valid segment so any clamped
         # segment index stays correct.
         if k < kmax:

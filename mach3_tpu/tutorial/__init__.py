@@ -1,0 +1,3 @@
+from .toy import ToyExperiment, build_toy
+
+__all__ = ["ToyExperiment", "build_toy"]

@@ -181,6 +181,20 @@ def test_layered_splitting_a_layer_is_invariant():
     assert np.allclose(p1, p2, atol=1e-10)
 
 
+def test_f32_grid_matches_f64_within_mc_precision():
+    """The production f32 path (TPU policy, see ``OscConfig.dtype``) must agree
+    with f64 to well below MC statistics for beam and atmospheric scales."""
+    e = jnp.linspace(0.05, 10.0, 300)
+    for L, rho in [(295.0, 2.6), (1300.0, 2.85), (12000.0, 5.0)]:
+        p64 = np.asarray(
+            probabilities_const_density(PARAMS, e, length=L, rho=rho, dtype=jnp.float64)
+        )
+        p32 = np.asarray(
+            probabilities_const_density(PARAMS, e, length=L, rho=rho, dtype=jnp.float32)
+        )
+        assert np.abs(p64 - p32).max() < 5e-5, (L, rho)
+
+
 def test_from_array_sin2_parameterisation():
     arr = jnp.asarray([0.307, 0.0220, 0.561, -1.601, 7.42e-5, 2.51e-3])
     p = OscParams.from_array(arr)

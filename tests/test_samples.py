@@ -170,7 +170,8 @@ def test_osc_weights_against_direct_probability():
     p = np.asarray(
         probabilities_const_density(op, jnp.asarray(grid), length=295.0, rho=2.6)
     )[gi, 1, 1]
-    assert np.allclose(w, p, atol=1e-6)
+    # sample path computes the grid in f32 (TPU policy) vs f64 direct here
+    assert np.allclose(w, p, atol=5e-6)
 
 
 def test_likelihood_zero_on_asimov():
