@@ -1,0 +1,78 @@
+"""mach3-plot — render plots from chain / scan / diagnostic outputs.
+
+CLI equivalent of the reference's plotting executables
+(``GetPostfitParamPlots``, ``PlotLLH``, ``PlotMCMCDiag``, ``MatrixPlotter``,
+triangle/violin outputs of ``ProcessMCMC``).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("chain", help="Chain .npz file")
+    parser.add_argument("--outdir", "-o", default="plots")
+    parser.add_argument("--burn-in", type=float, default=0.2)
+    parser.add_argument("--triangle", nargs="*", default=None,
+                        help="Parameter names for a triangle plot")
+    parser.add_argument("--scan", default=None, help="LLH-scan npz to overlay")
+    parser.add_argument("--diag", default=None, help="mach3-diag npz output")
+    from .common import add_common_args, setup_platform
+
+    add_common_args(parser)
+    args = parser.parse_args(argv)
+    setup_platform(args)
+
+    from ..diagnostics.chain_io import load_chain
+    from ..diagnostics.processor import ChainProcessor
+    from ..plotting import (
+        plot_diagnostics,
+        plot_llh_scans,
+        plot_matrix,
+        plot_posteriors_1d,
+        plot_triangle,
+        plot_violins,
+    )
+
+    os.makedirs(args.outdir, exist_ok=True)
+    draws, meta, _ = load_chain(args.chain)
+    proc = ChainProcessor(draws["theta"], names=meta["names"], burn_in=args.burn_in)
+
+    written = []
+
+    def save(fig, name):
+        path = os.path.join(args.outdir, name)
+        fig.savefig(path, dpi=120)
+        written.append(path)
+
+    save(plot_posteriors_1d(proc), "posteriors_1d.png")
+    save(plot_violins(proc), "violins.png")
+    save(plot_matrix(proc.correlation(), proc.names, "posterior correlation"), "correlation.png")
+
+    if args.triangle:
+        idx = [proc.names.index(n) for n in args.triangle]
+        save(plot_triangle(proc, idx), "triangle.png")
+
+    if args.scan:
+        with np.load(args.scan, allow_pickle=False) as f:
+            scan = {k[7:]: f[k] for k in f.files if k.startswith("scan1d_")}
+            names = [str(n) for n in f["names"]]
+        save(plot_llh_scans(scan, names, per_sample=True), "llh_scans.png")
+
+    if args.diag:
+        with np.load(args.diag, allow_pickle=False) as f:
+            diag = {k: f[k] for k in f.files}
+        save(plot_diagnostics(diag, [str(n) for n in diag["names"]]), "diagnostics.png")
+
+    for p in written:
+        print(f"wrote {p}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -93,9 +93,6 @@ def make_step_fn(
     """Build the pure single-step transition for a batch of chains."""
     n_params = model.n_params
 
-    def nll_fn(theta: jnp.ndarray) -> jnp.ndarray:
-        return model.total_nll(theta)
-
     def propose_fn(theta: jnp.ndarray, key: jax.Array, adaptive: AdaptiveState | None):
         if adaptive is None:
             return model.propose(theta, key)
@@ -129,7 +126,7 @@ def make_step_fn(
         proposed = jax.vmap(lambda t, k: propose_fn(t, k, state.adaptive))(
             state.theta, prop_keys
         )
-        nll_prop = jax.vmap(nll_fn)(proposed)
+        nll_prop = model.total_nll_batch(proposed)
 
         # Acceptance probability (MR2T2.cpp:103-115)
         d_nll = nll_prop - state.nll

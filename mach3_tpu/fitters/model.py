@@ -103,6 +103,21 @@ class FitModel:
         n_samples = len(self.samples)
         return prior + jnp.where(oob, n_samples * jnp.asarray(LARGE_LOGL, ATYPE), sample)
 
+    # --------------------------------------------------- chain-batched paths
+    def total_nll_batch(self, thetas: jnp.ndarray) -> jnp.ndarray:
+        """[C, NP] -> [C], using each sample's batched (possibly Pallas) path.
+
+        Semantics identical to ``vmap(total_nll)``; preferred inside the MCMC
+        step so fused kernels engage.
+        """
+        prior = jax.vmap(self.prior_nll)(thetas)
+        oob = prior >= LARGE_LOGL
+        sample = jnp.zeros((thetas.shape[0],), ATYPE)
+        for s in self.samples:
+            sample = sample + s.log_likelihood_batch(thetas)
+        n_samples = len(self.samples)
+        return prior + jnp.where(oob, n_samples * jnp.asarray(LARGE_LOGL, ATYPE), sample)
+
     # Convenience for HMC/NUTS: differentiable log-density (no sentinel).
     def log_posterior(self, theta: jnp.ndarray) -> jnp.ndarray:
         total = jnp.zeros((), ATYPE)

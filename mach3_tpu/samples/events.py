@@ -23,7 +23,7 @@ from ..core.logging import get_logger
 from ..core.precision import ATYPE, FTYPE, ITYPE
 from ..params.parameterset import ParamMeta
 from .binning import SampleBinning
-from .sample import OscConfig, SampleModel, ShiftSpec
+from .sample import AtmoOscConfig, OscConfig, SampleModel, ShiftSpec
 from .teststats import TestStatistic
 
 _log = get_logger("samples")
@@ -147,6 +147,62 @@ def build_osc_config(
     )
 
 
+def build_atmo_osc_config(
+    events: EventData,
+    e_grid: np.ndarray,
+    cosz_grid: np.ndarray,
+    osc_param_gidx: Sequence[int],
+    nc_modes: Sequence[int] = (),
+    e_true_var: str = "e_true",
+    cosz_var: str = "cos_zenith",
+    production_height_km: float = 15.0,
+) -> AtmoOscConfig:
+    """Atmospheric wiring: PREM layered paths per zenith bin + per-event
+    (channel, cosZ, E) gather indices (CUDAProb3-equivalent setup)."""
+    import jax.numpy as jnp
+
+    from ..osc.prem import path_through_earth
+
+    pairs = np.stack([events.preosc_pdg, events.pdg], axis=1)
+    uniq, inverse = np.unique(pairs, axis=0, return_inverse=True)
+    alpha, beta, anti = [], [], []
+    for gen, det in uniq:
+        if (gen > 0) != (det > 0):
+            raise ConfigError(f"Oscillation channel mixes nu and nubar: {gen} -> {det}")
+        alpha.append(_FLAVOUR[abs(int(gen))])
+        beta.append(_FLAVOUR[abs(int(det))])
+        anti.append(gen < 0)
+
+    lengths, rho, ye = path_through_earth(
+        np.asarray(cosz_grid), production_height_km=production_height_km
+    )
+    rho_eff = rho * (ye / 0.5)
+
+    def nearest(grid, vals):
+        g = np.asarray(grid, np.float64)
+        idx = np.clip(np.searchsorted(g, vals), 0, len(g) - 1)
+        left = np.clip(idx - 1, 0, len(g) - 1)
+        use_left = np.abs(g[left] - vals) < np.abs(g[idx] - vals)
+        return np.where(use_left, left, idx)
+
+    e_idx = nearest(e_grid, np.asarray(events.kinematics[e_true_var], np.float64))
+    z_idx = nearest(cosz_grid, np.asarray(events.kinematics[cosz_var], np.float64))
+    nz, ne = len(cosz_grid), len(e_grid)
+    flat = (inverse.reshape(-1) * nz + z_idx) * ne + e_idx
+
+    return AtmoOscConfig(
+        e_grid=jnp.asarray(e_grid, ATYPE),
+        layer_lengths=jnp.asarray(lengths, ATYPE),
+        layer_rho=jnp.asarray(rho_eff, ATYPE),
+        event_flat_idx=jnp.asarray(flat, ITYPE),
+        chan_alpha=jnp.asarray(alpha, ITYPE),
+        chan_beta=jnp.asarray(beta, ITYPE),
+        chan_anti=jnp.asarray(anti),
+        nc_mask=jnp.asarray(np.isin(events.mode, list(nc_modes))),
+        osc_param_idx=jnp.asarray(list(osc_param_gidx), ITYPE),
+    )
+
+
 def build_sample_model(
     name: str,
     events: EventData,
@@ -160,6 +216,7 @@ def build_sample_model(
     shifts: Sequence[ShiftSpec] = (),
     data: np.ndarray | None = None,
     test_statistic: TestStatistic = TestStatistic.BARLOW_BEESTON,
+    use_pallas: bool = False,
 ) -> SampleModel:
     """Assemble the static SampleModel arrays.
 
@@ -189,4 +246,5 @@ def build_sample_model(
         osc=osc,
         shifts=tuple(shifts),
         test_statistic=test_statistic,
+        use_pallas=use_pallas,
     )

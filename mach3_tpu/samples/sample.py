@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..core.precision import ATYPE, FTYPE, ITYPE
-from ..osc.prob import OscParams, probabilities_const_density
+from ..osc.prob import OscParams, probabilities_const_density, probabilities_layered
 from ..splines.eval import eval_dense, eval_sparse
 from ..splines.monolith import DenseSplineTable, SparseSplineTable
 from .binning import SampleBinning, histogram
@@ -81,6 +81,45 @@ class OscConfig:
 
 
 @struct.dataclass
+class AtmoOscConfig:
+    """Atmospheric oscillation setup: probabilities on an (E, cosZ) grid
+    through a layered earth (the reference's CUDAProb3 road,
+    ``README.md:119-123``; path geometry from ``osc/prem.py``).
+
+    Events gather by (channel, zenith-bin, energy-bin) flat index.
+    """
+
+    e_grid: jnp.ndarray  # [NE]
+    layer_lengths: jnp.ndarray  # [NZ, NL] km (0-padded)
+    layer_rho: jnp.ndarray  # [NZ, NL] g/cm^3 (Ye-folded effective density)
+    event_flat_idx: jnp.ndarray  # [E] i32 = (chan * NZ + z_idx) * NE + e_idx
+    chan_alpha: jnp.ndarray  # [NC] i32
+    chan_beta: jnp.ndarray  # [NC] i32
+    chan_anti: jnp.ndarray  # [NC] bool
+    nc_mask: jnp.ndarray  # [E] bool
+    osc_param_idx: jnp.ndarray | None = None  # [6] i32
+    dtype: jnp.dtype = struct.field(pytree_node=False, default=jnp.float32)
+
+    def weights(self, params: jnp.ndarray, n_events: int) -> jnp.ndarray:
+        osc_pars = OscParams.from_array(params[self.osc_param_idx].astype(ATYPE))
+        p_nu = probabilities_layered(
+            osc_pars, self.e_grid, self.layer_lengths, self.layer_rho,
+            antineutrino=False, dtype=self.dtype,
+        )  # [NZ, NE, 3, 3]
+        p_bar = probabilities_layered(
+            osc_pars, self.e_grid, self.layer_lengths, self.layer_rho,
+            antineutrino=True, dtype=self.dtype,
+        )
+        chan_nu = p_nu[:, :, self.chan_alpha, self.chan_beta]  # [NZ, NE, NC]
+        chan_bar = p_bar[:, :, self.chan_alpha, self.chan_beta]
+        chan = jnp.where(self.chan_anti[None, None, :], chan_bar, chan_nu)
+        # reorder to [NC, NZ, NE] then flatten for the single static gather
+        table = jnp.moveaxis(chan, -1, 0).reshape(-1)
+        w = jnp.take(table, self.event_flat_idx, axis=0).astype(FTYPE)
+        return jnp.where(self.nc_mask, jnp.ones((), FTYPE), w)
+
+
+@struct.dataclass
 class SampleModel:
     """Static arrays + config for one binned sample; methods are jit-safe."""
 
@@ -96,6 +135,9 @@ class SampleModel:
     test_statistic: TestStatistic = struct.field(
         pytree_node=False, default=TestStatistic.BARLOW_BEESTON
     )
+    # Route chain-batched reweights through the fused Pallas kernel
+    # (splines/pallas_reweight.py). TPU-only; requires a dense spline table.
+    use_pallas: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def n_events(self) -> int:
@@ -127,6 +169,8 @@ class SampleModel:
     def _osc_weights(self, params: jnp.ndarray) -> jnp.ndarray:
         if self.osc is None:
             return jnp.ones((self.n_events,), FTYPE)
+        if isinstance(self.osc, AtmoOscConfig):
+            return self.osc.weights(params, self.n_events)
         o = self.osc
         osc_pars = OscParams.from_array(params[o.osc_param_idx].astype(ATYPE))
         p_nu = probabilities_const_density(
@@ -151,7 +195,12 @@ class SampleModel:
         chan_nu = p_nu[:, o.chan_alpha, o.chan_beta].T
         chan_bar = p_bar[:, o.chan_alpha, o.chan_beta].T
         chan = jnp.where(o.chan_anti[:, None], chan_bar, chan_nu)  # [NC, NE]
-        w = chan[o.event_channel, o.event_grid_idx].astype(FTYPE)
+        # Per-event lookup as ONE flat 1-D gather with static indices: the 2-D
+        # advanced-index form lowered to a pathological expansion on TPU
+        # (measured 14 GB of traffic for a 20k-event sample).
+        ne = o.e_grid.shape[0]
+        flat_idx = o.event_channel * ne + o.event_grid_idx  # [E] i32, static
+        w = jnp.take(chan.reshape(-1), flat_idx, axis=0).astype(FTYPE)
         # NC events do not oscillate: unit weight (``SampleHandlerFD.cpp:1127-1133``).
         return jnp.where(o.nc_mask, jnp.ones((), FTYPE), w)
 
@@ -181,6 +230,40 @@ class SampleModel:
         stat_fn = get_test_stat_fn(self.test_statistic)
         per_bin = stat_fn(self.data, mc.astype(ATYPE), w2.astype(ATYPE))
         return jnp.sum(per_bin)
+
+    # ------------------------------------------------------ batched (chains)
+    def reweight_batch(self, thetas: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Chain-batched reweight: thetas [C, NP] -> (mc [C, B], w2 [C, B]).
+
+        With ``use_pallas`` and a dense spline table, the spline product +
+        histogram run in the fused kernel (one VMEM pass); the osc/norm/bin
+        pieces are computed with vmapped XLA either way.
+        """
+        if not (self.use_pallas and isinstance(self.spline_table, DenseSplineTable)):
+            return jax.vmap(self.reweight)(thetas)
+        from ..splines.pallas_reweight import fused_reweight_histogram, spline_selector
+
+        base_w = jax.vmap(
+            lambda t: self.mc_weight * self._norm_weights(t) * self._osc_weights(t)
+        )(thetas)
+        bins = jax.vmap(
+            lambda t: self.binning.find_bins(self._shifted_kinematics(t))
+        )(thetas)
+        selector = spline_selector(self.spline_table, thetas)
+        table = self.spline_table
+        coeffs = table.coeffs.reshape(
+            table.coeffs.shape[0], -1, table.coeffs.shape[3]
+        )
+        return fused_reweight_histogram(
+            selector, coeffs, base_w, bins, n_bins=self.n_bins
+        )
+
+    def log_likelihood_batch(self, thetas: jnp.ndarray) -> jnp.ndarray:
+        """[C, NP] -> [C] -logL."""
+        mc, w2 = self.reweight_batch(thetas)
+        stat_fn = get_test_stat_fn(self.test_statistic)
+        per_bin = stat_fn(self.data[None, :], mc.astype(ATYPE), w2.astype(ATYPE))
+        return jnp.sum(per_bin, axis=1)
 
     def with_data(self, data) -> "SampleModel":
         return self.replace(data=jnp.asarray(data, ATYPE))

@@ -1,0 +1,147 @@
+"""Fused reweight + histogram Pallas kernel — the flagship TPU kernel.
+
+TPU-native replacement for the reference's CUDA spline pipeline
+(``Splines/gpuSplineUtils.cu:337-439``: EvalOnGPU_Splines + EvalOnGPU_TotWeight
++ a device->host copy + OMP FillArray). XLA's unfused version materialises
+~100 [C, E]-sized temporaries (measured 1.6 GB moved per reweight at 50k
+events x 128 chains); this kernel performs, in one VMEM-resident pass per
+(chain-tile, event-tile):
+
+1. the spline response product over parameters — each parameter is ONE MXU
+   matmul ``selector[CT, K4] @ coeffs[K4, ET]`` (selector = segment-one-hot x
+   powers of t, computed outside; tiny),
+2. multiplication with the precomputed base weight (mc x osc x norm),
+3. the histogram fill of both Σw and Σw² via masked one-hot contractions into
+   a [CT, B] accumulator that never leaves VMEM.
+
+Shift/binning generality stays outside: ``bins [C, E]`` arrives precomputed
+(recomputing bins per step is cheap; the kernel's win is removing the [C, E]
+traffic of the spline/histogram chain). Bin count B is a static template —
+bins beyond ~4k should fall back to the XLA path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.precision import FTYPE
+
+
+def _kernel(selector_ref, base_ref, bins_ref, coeffs_ref, mc_ref, w2_ref, *, n_params, n_bins):
+    """Grid (ce, ee); event tiles innermost so the [CT, B] output block stays
+    resident and accumulates across event tiles."""
+    ee = pl.program_id(1)
+
+    @pl.when(ee == 0)
+    def _():
+        mc_ref[:] = jnp.zeros_like(mc_ref)
+        w2_ref[:] = jnp.zeros_like(w2_ref)
+
+    # Spline product: w [CT, ET]
+    w = base_ref[:]
+    for p in range(n_params):
+        resp = jax.lax.dot_general(
+            selector_ref[:, p, :],
+            coeffs_ref[p],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        w = w * resp
+
+    # Histogram: bins [CT, ET] i32 -> one-hot contraction into [CT, B].
+    # (bins == n_bins marks out-of-range events; the iota runs 0..B-1 so they
+    # match nothing and drop out, replicating the garbage-bin semantics.)
+    bins = bins_ref[:]
+    onehot = (
+        bins[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_bins), 2)
+    ).astype(jnp.float32)  # [CT, ET, B]
+    mc_ref[:] += jnp.einsum(
+        "ce,ceb->cb", w, onehot, preferred_element_type=jnp.float32
+    )
+    w2_ref[:] += jnp.einsum(
+        "ce,ceb->cb", w * w, onehot, preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins", "chain_tile", "event_tile"))
+def fused_reweight_histogram(
+    selector: jnp.ndarray,  # [C, P, K4] f32
+    coeffs: jnp.ndarray,  # [P, K4, E] f32
+    base_w: jnp.ndarray,  # [C, E] f32  (mc_weight x osc x norm, weights=0 for pad)
+    bins: jnp.ndarray,  # [C, E] i32  (n_bins = out of range)
+    n_bins: int,
+    chain_tile: int = 8,
+    event_tile: int = 2048,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (mc [C, B], w2 [C, B]) in f32."""
+    c, p, k4 = selector.shape
+    e = coeffs.shape[2]
+    # Pad C and E to tile multiples; padded events carry weight 0 and bin B
+    # (out of range) so they contribute nothing.
+    cpad = -c % chain_tile
+    epad = -e % event_tile
+    if cpad:
+        selector = jnp.pad(selector, ((0, cpad), (0, 0), (0, 0)))
+        base_w = jnp.pad(base_w, ((0, cpad), (0, 0)))
+        bins = jnp.pad(bins, ((0, cpad), (0, 0)), constant_values=n_bins)
+    if epad:
+        coeffs = jnp.pad(coeffs, ((0, 0), (0, 0), (0, epad)))
+        base_w = jnp.pad(base_w, ((0, 0), (0, epad)))
+        bins = jnp.pad(bins, ((0, 0), (0, epad)), constant_values=n_bins)
+    cp, ep = c + cpad, e + epad
+
+    grid = (cp // chain_tile, ep // event_tile)
+    kernel = functools.partial(_kernel, n_params=p, n_bins=n_bins)
+    mc, w2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (chain_tile, p, k4), lambda ce, ee: (ce, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chain_tile, event_tile), lambda ce, ee: (ce, ee), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chain_tile, event_tile), lambda ce, ee: (ce, ee), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (p, k4, event_tile), lambda ce, ee: (0, 0, ee), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((chain_tile, n_bins), lambda ce, ee: (ce, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chain_tile, n_bins), lambda ce, ee: (ce, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((cp, n_bins), jnp.float32),
+            jax.ShapeDtypeStruct((cp, n_bins), jnp.float32),
+        ),
+    )(selector, base_w, bins, coeffs)
+    return mc[:c], w2[:c]
+
+
+def spline_selector(table, params_batch: jnp.ndarray) -> jnp.ndarray:
+    """Selector [C, P, K*4] for the kernel from a chain batch [C, NP]
+    (same math as ``eval_dense``'s selector, flattened over (K, 4))."""
+    from .eval import find_segments
+
+    def one(params):
+        values = params[table.param_index]
+        seg, t = find_segments(table.knots_x, table.n_knots, values)
+        kmax = table.knots_x.shape[1]
+        seg_onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (table.n_spline_params, kmax), 1)
+            == seg[:, None]
+        ).astype(FTYPE)
+        tp = jnp.stack([jnp.ones_like(t), t, t * t, t * t * t], axis=-1)
+        return (seg_onehot[:, :, None] * tp[:, None, :]).reshape(
+            table.n_spline_params, kmax * 4
+        )
+
+    return jax.vmap(one)(params_batch)

@@ -230,6 +230,7 @@ def build_toy(
     test_statistic: TestStatistic = TestStatistic.BARLOW_BEESTON,
     flip_hierarchy: bool = False,
     e_grid_size: int = 200,
+    use_pallas: bool = False,
 ) -> ToyExperiment:
     rng = np.random.default_rng(seed)
     xsec = ParameterSet.from_config(Config(xsec_config()), name="xsec")
@@ -316,6 +317,7 @@ def build_toy(
                 osc=osc_cfg,
                 shifts=shifts,
                 test_statistic=test_statistic,
+                use_pallas=use_pallas,
             )
         )
 

@@ -1,0 +1,120 @@
+"""CLI end-to-end: mcmc -> process -> diag -> rhat -> llhscan -> predictive -> plot.
+
+Exercises the console entry points in-process (argv injection) on a tiny toy,
+mirroring the reference's executable workflow
+(``MCMCTutorial`` -> ``ProcessMCMC`` -> ``DiagMCMC`` -> ``RHat`` -> plotting).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from mach3_tpu.cli import combine as cli_combine
+from mach3_tpu.cli import diag as cli_diag
+from mach3_tpu.cli import llhscan as cli_llhscan
+from mach3_tpu.cli import mcmc as cli_mcmc
+from mach3_tpu.cli import plot as cli_plot
+from mach3_tpu.cli import predictive as cli_predictive
+from mach3_tpu.cli import process as cli_process
+from mach3_tpu.cli import rhat as cli_rhat
+
+
+@pytest.fixture(scope="module")
+def chain_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    out = str(d / "chain.npz")
+    rc = cli_mcmc.main(
+        [
+            "General:MCMC:NSteps:300",
+            "General:MCMC:NChains:8",
+            "General:MCMC:AutoSave:100",
+            "Toy:NEvents:1500",
+            "-o",
+            out,
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(out)
+    assert os.path.exists(out + ".ckpt")
+    return out
+
+
+def test_process(chain_file, capsys):
+    rc = cli_process.main([chain_file, "--output", chain_file + ".proc.npz"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "osc_sin2th23" in out
+    with np.load(chain_file + ".proc.npz", allow_pickle=False) as f:
+        assert f["summary"].shape[0] == 16
+        assert f["covariance"].shape == (16, 16)
+
+
+def test_diag(chain_file, capsys):
+    rc = cli_diag.main([chain_file, "--output", chain_file + ".diag.npz"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "split-Rhat" in out
+    with np.load(chain_file + ".diag.npz", allow_pickle=False) as f:
+        assert "ess" in f.files and "autocorrelation" in f.files
+
+
+def test_rhat_needs_two_chains(chain_file, capsys):
+    rc = cli_rhat.main([chain_file])
+    assert rc == 0  # the file itself has 8 chains
+    assert "CONVERGED" in capsys.readouterr().out
+
+
+def test_combine_same_file_rejected_then_forced(chain_file, tmp_path, capsys):
+    out = str(tmp_path / "merged.npz")
+    rc = cli_combine.main([chain_file, chain_file, "-o", out])
+    assert rc == 0  # identical config/version -> allowed
+    from mach3_tpu.diagnostics.chain_io import load_chain
+
+    draws, _, _ = load_chain(out)
+    assert draws["theta"].shape[0] == 600
+
+
+def test_resume_from_checkpoint(chain_file, tmp_path):
+    out2 = str(tmp_path / "chain2.npz")
+    rc = cli_mcmc.main(
+        [
+            "General:MCMC:NSteps:50",
+            "General:MCMC:NChains:8",
+            "Toy:NEvents:1500",
+            "--checkpoint",
+            chain_file + ".ckpt",
+            "-o",
+            out2,
+        ]
+    )
+    assert rc == 0
+
+
+def test_llhscan(tmp_path, capsys):
+    out = str(tmp_path / "scan.npz")
+    rc = cli_llhscan.main(["Toy:NEvents:1000", "--points", "11", "-o", out])
+    assert rc == 0
+    assert "curvature ok" in capsys.readouterr().out
+    with np.load(out, allow_pickle=False) as f:
+        assert f["scan1d_total"].shape == (16, 11)
+
+
+def test_predictive(chain_file, tmp_path, capsys):
+    out = str(tmp_path / "pred.npz")
+    rc = cli_predictive.main(
+        [chain_file, "--toys", "40", "--n-events", "1500", "-o", out]
+    )
+    assert rc == 0
+    assert "p-value" in capsys.readouterr().out
+    with np.load(out, allow_pickle=False) as f:
+        assert 0.0 <= float(f["p_value"]) <= 1.0
+
+
+def test_plot(chain_file, tmp_path):
+    outdir = str(tmp_path / "plots")
+    rc = cli_plot.main(
+        [chain_file, "-o", outdir, "--triangle", "osc_sin2th23", "osc_delta_cp"]
+    )
+    assert rc == 0
+    for f in ["posteriors_1d.png", "violins.png", "correlation.png", "triangle.png"]:
+        assert os.path.exists(os.path.join(outdir, f)), f
