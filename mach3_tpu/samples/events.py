@@ -232,6 +232,15 @@ def build_sample_model(
     # Map pad (-1) to the unit slot (= n_total_params, appended 1.0).
     norm_idx = np.where(norm_idx < 0, n_total_params, norm_idx)
 
+    # One-hot form for the MXU path (see SampleModel.norm_onehot) when the
+    # parameter count is small enough for the dense matrix to be cheap.
+    norm_onehot = None
+    if (n_total_params + 1) <= 128:
+        flat = norm_idx.reshape(-1)
+        oh = np.zeros((len(flat), n_total_params + 1), np.float32)
+        oh[np.arange(len(flat)), flat] = 1.0
+        norm_onehot = jnp.asarray(oh)
+
     if data is None:
         data = np.zeros(binning.n_bins)
 
@@ -240,6 +249,7 @@ def build_sample_model(
         kin=jnp.asarray(kin, FTYPE),
         mc_weight=jnp.asarray(events.mc_weight, FTYPE),
         norm_idx=jnp.asarray(norm_idx, ITYPE),
+        norm_onehot=norm_onehot,
         binning=binning,
         data=jnp.asarray(data, ATYPE),
         spline_table=spline_table,

@@ -129,6 +129,11 @@ class SampleModel:
     norm_idx: jnp.ndarray  # [E, Wn] i32 into extended parameter vector
     binning: SampleBinning
     data: jnp.ndarray  # [B] f64 observed histogram
+    # One-hot form of norm_idx ([E*Wn, NP+1] f32) when NP is small: gathering
+    # from a tiny parameter vector lowers to a catastrophic select-expansion
+    # on TPU (measured 12.5 GB/step); as a one-hot matmul it is one MXU
+    # product with the indices baked in. None -> use the gather.
+    norm_onehot: jnp.ndarray | None = None
     spline_table: DenseSplineTable | SparseSplineTable | None = None
     osc: OscConfig | None = None
     shifts: tuple[ShiftSpec, ...] = struct.field(pytree_node=False, default=())
@@ -156,7 +161,10 @@ class SampleModel:
         ``norm_pointers`` vector-of-pointers product, ``FillArray_MP``).
         """
         ext = jnp.concatenate([params.astype(FTYPE), jnp.ones((1,), FTYPE)])
-        vals = ext[self.norm_idx]  # [E, Wn]
+        if self.norm_onehot is not None:
+            vals = (self.norm_onehot @ ext).reshape(self.norm_idx.shape)
+        else:
+            vals = ext[self.norm_idx]  # [E, Wn]
         return jnp.prod(vals, axis=1)
 
     def _spline_weights(self, params: jnp.ndarray) -> jnp.ndarray:

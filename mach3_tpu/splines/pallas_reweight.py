@@ -52,20 +52,23 @@ def _kernel(selector_ref, base_ref, bins_ref, coeffs_ref, mc_ref, w2_ref, *, n_p
         )
         w = w * resp
 
-    # Histogram: bins [CT, ET] i32 -> one-hot contraction into [CT, B].
-    # (bins == n_bins marks out-of-range events; the iota runs 0..B-1 so they
-    # match nothing and drop out, replicating the garbage-bin semantics.)
+    # Histogram: bins [CT, ET] i32 -> one-hot matmuls into [CT, B].
+    # Mosaic supports plain 2-D dots, so loop the (small, static) chain tile:
+    # per chain, onehot [ET, B] stays in VMEM and both Σw and Σw² are
+    # [1, ET] @ [ET, B] MXU products. bins == n_bins marks out-of-range
+    # events; the iota runs 0..B-1 so they match nothing (garbage-bin drop).
     bins = bins_ref[:]
-    onehot = (
-        bins[:, :, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_bins), 2)
-    ).astype(jnp.float32)  # [CT, ET, B]
-    mc_ref[:] += jnp.einsum(
-        "ce,ceb->cb", w, onehot, preferred_element_type=jnp.float32
-    )
-    w2_ref[:] += jnp.einsum(
-        "ce,ceb->cb", w * w, onehot, preferred_element_type=jnp.float32
-    )
+    chain_tile = bins.shape[0]
+    bin_ids = jax.lax.broadcasted_iota(jnp.int32, (bins.shape[1], n_bins), 1)
+    for c in range(chain_tile):
+        onehot = (bins[c][:, None] == bin_ids).astype(jnp.float32)  # [ET, B]
+        wc = w[c : c + 1]  # [1, ET]
+        mc_ref[c : c + 1, :] += jax.lax.dot_general(
+            wc, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        w2_ref[c : c + 1, :] += jax.lax.dot_general(
+            wc * wc, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("n_bins", "chain_tile", "event_tile"))
@@ -97,26 +100,46 @@ def fused_reweight_histogram(
 
     grid = (cp // chain_tile, ep // event_tile)
     kernel = functools.partial(_kernel, n_params=p, n_bins=n_bins)
+    # Index maps build their zero constants INSIDE the lambda as explicit i32:
+    # with jax_enable_x64 bare literals become i64 (Mosaic cannot legalize),
+    # and closure-captured jnp constants are rejected by pallas.
+    i32 = jnp.int32
     mc, w2 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (chain_tile, p, k4), lambda ce, ee: (ce, 0, 0), memory_space=pltpu.VMEM
+                (chain_tile, p, k4),
+                lambda ce, ee: (ce, i32(0), i32(0)),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (chain_tile, event_tile), lambda ce, ee: (ce, ee), memory_space=pltpu.VMEM
+                (chain_tile, event_tile),
+                lambda ce, ee: (ce, ee),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (chain_tile, event_tile), lambda ce, ee: (ce, ee), memory_space=pltpu.VMEM
+                (chain_tile, event_tile),
+                lambda ce, ee: (ce, ee),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (p, k4, event_tile), lambda ce, ee: (0, 0, ee), memory_space=pltpu.VMEM
+                (p, k4, event_tile),
+                lambda ce, ee: (i32(0), i32(0), ee),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
-            pl.BlockSpec((chain_tile, n_bins), lambda ce, ee: (ce, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chain_tile, n_bins), lambda ce, ee: (ce, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (chain_tile, n_bins),
+                lambda ce, ee: (ce, i32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (chain_tile, n_bins),
+                lambda ce, ee: (ce, i32(0)),
+                memory_space=pltpu.VMEM,
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((cp, n_bins), jnp.float32),
