@@ -19,17 +19,30 @@ import time
 
 def main() -> None:
     import jax
+
+    # Persistent compilation cache: the dominant cost of this benchmark is
+    # remote TPU compilation (~minutes); cached executables make reruns fast.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mach3_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
     import numpy as np
 
     from mach3_tpu.fitters.mcmc import MR2T2, MCMCConfig
     from mach3_tpu.tutorial.toy import build_toy
 
+    import sys
+
     n_events = 100_000
-    n_chains = 128
+    n_chains = 256
     n_steps = 200
 
-    toy = build_toy(n_events=n_events, seed=42, e_grid_size=200)
+    def stage(msg, t0):
+        print(f"# {msg}: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+        return time.perf_counter()
+
+    t = time.perf_counter()
+    toy = build_toy(n_events=n_events, seed=42, e_grid_size=200, use_pallas=True)
+    t = stage("build_toy", t)
     theta0 = np.asarray(toy.model.prefit_vector())
     init = np.tile(theta0, (n_chains, 1))
     # Jitter starts so chains decorrelate
@@ -38,9 +51,11 @@ def main() -> None:
 
     config = MCMCConfig(n_steps=n_steps, chunk_size=50)
     fitter = MR2T2(toy.model, config, init, seed=1)
+    t = stage("fitter init", t)
 
     # Warm-up: compile + one chunk
     fitter.run(n_steps=50)
+    t = stage("warmup (compile + 50 steps)", t)
     t0 = time.perf_counter()
     fitter.run(n_steps=n_steps)
     jax.block_until_ready(fitter.state.theta)

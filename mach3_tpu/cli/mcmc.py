@@ -22,6 +22,12 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--output", "-o", default="chain.npz")
     parser.add_argument("--checkpoint", default=None, help="Resume from this checkpoint file")
     parser.add_argument("--experiment", default="toy", help="Experiment to fit (toy)")
+    parser.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="Capture a jax.profiler trace of one chunk into DIR (xprof-compatible)",
+    )
     from .common import add_common_args, setup_platform
 
     add_common_args(parser)
@@ -51,7 +57,24 @@ def main(argv: list[str] | None = None) -> int:
 
     def progress(done, state, chunk):
         acc = float(np.asarray(state.n_accepted).mean()) / max(int(state.step), 1)
-        log.info("step %d/%d  acc %.3f  nll %.2f", done, n_steps, acc, float(chunk["nll"][-1].mean()))
+        rhat = fitter.online_rhat(chunk)
+        log.info(
+            "step %d/%d  acc %.3f  nll %.2f  max-Rhat(chunk) %.3f  %.1f ms/step",
+            done,
+            n_steps,
+            acc,
+            float(chunk["nll"][-1].mean()),
+            float(np.nanmax(rhat)),
+            1e3 * float(chunk["step_time"][0]),
+        )
+
+    if args.profile:
+        import jax
+
+        fitter.run(n_steps=min(50, n_steps))  # compile outside the trace
+        with jax.profiler.trace(args.profile):
+            fitter.run(n_steps=min(50, n_steps))
+        log.info("profiler trace written to %s", args.profile)
 
     out = fitter.run(n_steps=n_steps, callback=progress)
     save_chain(args.output, out, toy.names, config_yaml=cfg.to_yaml())

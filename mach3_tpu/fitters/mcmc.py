@@ -265,7 +265,7 @@ class MR2T2:
             )
 
         theta0 = jnp.asarray(init_theta, ATYPE)
-        nll0 = jax.jit(jax.vmap(model.total_nll))(theta0)
+        nll0 = jax.jit(model.total_nll_batch)(theta0)
         self.state = ChainState(
             theta=theta0,
             nll=nll0,
@@ -293,19 +293,34 @@ class MR2T2:
 
     def run(self, n_steps: int | None = None, callback=None) -> dict[str, np.ndarray]:
         """Run the chain; returns host-side arrays
-        theta [S, C, P], nll [S, C], acc_prob [S, C], accepted [S, C]."""
+        theta [S, C, P], nll [S, C], acc_prob [S, C], accepted [S, C],
+        step_time [S] (per-step wall seconds, the reference's ``stepTime``
+        branch, ``Fitters/FitterBase.h:140-142``)."""
+        import time
+
         n_steps = n_steps or self.config.n_steps
         chunks: list[dict[str, np.ndarray]] = []
         done = 0
         while done < n_steps:
             n = min(self.config.chunk_size, n_steps - done)
+            t0 = time.perf_counter()
             self.state, out = self._run_chunk(self.state, n)
             host = {k: np.asarray(v) for k, v in out.items()}
+            per_step = (time.perf_counter() - t0) / n
+            host["step_time"] = np.full(n, per_step)
             chunks.append(host)
             done += n
             if callback is not None:
                 callback(done, self.state, host)
         return {k: np.concatenate([c[k] for c in chunks], axis=0) for k in chunks[0]}
+
+    def online_rhat(self, recent: dict[str, np.ndarray]) -> np.ndarray:
+        """Split R-hat over the chains of a chunk's draws — cheap online
+        convergence telemetry between autosaves (a capability the reference's
+        offline-only RHat tool lacks)."""
+        from ..diagnostics.rhat import split_rhat
+
+        return np.asarray(split_rhat(recent["theta"]))
 
     @property
     def acceptance_rate(self) -> np.ndarray:

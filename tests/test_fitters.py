@@ -157,3 +157,28 @@ def test_sigma_variations_shapes():
     # sigma=0 column equals the Asimov data
     data = np.asarray(toy.samples[0].data)
     assert np.allclose(sv["hists"][0, 2], data, rtol=1e-5)
+
+
+def test_ensemble_sampler_gaussian(gauss_model):
+    from mach3_tpu.fitters.ensemble import EnsembleConfig, EnsembleSampler
+
+    model, ps = gauss_model
+    rng = np.random.default_rng(11)
+    init = np.asarray(ps.prefit) + 0.1 * rng.normal(size=(16, 2))
+    sampler = EnsembleSampler(model, EnsembleConfig(chunk_size=200), init, seed=12)
+    out = sampler.run(n_steps=2000)
+    draws = out["theta"][500:].reshape(-1, 2)
+    assert sampler.acceptance_rate.mean() > 0.1
+    assert np.mean(draws[:, 0]) == pytest.approx(1.0, abs=0.05)
+    assert np.std(draws[:, 0]) == pytest.approx(0.5, rel=0.12)
+    assert np.std(draws[:, 1]) == pytest.approx(2.0, rel=0.12)
+
+
+def test_ensemble_walker_validation(gauss_model):
+    from mach3_tpu.fitters.ensemble import EnsembleConfig, EnsembleSampler
+
+    model, ps = gauss_model
+    with pytest.raises(ValueError, match="even"):
+        EnsembleSampler(model, EnsembleConfig(), np.zeros((5, 2)))
+    with pytest.raises(ValueError, match="walkers"):
+        EnsembleSampler(model, EnsembleConfig(), np.zeros((2, 2)))
