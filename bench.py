@@ -18,12 +18,13 @@ import time
 
 
 def main() -> None:
-    import jax
+    import os
 
-    # Persistent compilation cache: the dominant cost of this benchmark is
-    # remote TPU compilation (~minutes); cached executables make reruns fast.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/mach3_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # Allow a CPU backend next to the TPU one so build-time work (Asimov data)
+    # avoids minutes of remote TPU compilation; the fit itself runs on TPU.
+    if os.environ.get("JAX_PLATFORMS") and "cpu" not in os.environ["JAX_PLATFORMS"]:
+        os.environ["JAX_PLATFORMS"] = os.environ["JAX_PLATFORMS"] + ",cpu"
+    import jax
     import jax.numpy as jnp
     import numpy as np
 

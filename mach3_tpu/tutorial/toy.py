@@ -323,11 +323,18 @@ def build_toy(
 
     model = FitModel.build([xsec, osc], samples)
 
-    # Asimov data at the prefit point
+    # Asimov data at the prefit point. Computed on CPU when available: this is
+    # one-off build-time work, and a remote-TPU compile of the unbatched
+    # reweight costs minutes for no benefit.
     import jax
 
-    theta0 = model.prefit_vector()
-    asimov = [jax.jit(s.asimov_data)(theta0) for s in samples]
+    try:
+        build_device = jax.devices("cpu")[0]
+    except RuntimeError:
+        build_device = jax.devices()[0]
+    with jax.default_device(build_device):
+        theta0 = model.prefit_vector()
+        asimov = [np.asarray(jax.jit(s.asimov_data)(theta0)) for s in samples]
     samples = [s.with_data(a) for s, a in zip(samples, asimov)]
     model = FitModel.build([xsec, osc], samples)
 
