@@ -43,6 +43,11 @@ class HMCConfig:
     target_accept: float = 0.8
     adapt_steps: int = 200
     mass_from_prior: bool = True  # mass matrix = inverse prior covariance diag
+    # Randomised trajectory length (jittered HMC): per chain per step, the
+    # number of leapfrog steps is drawn uniformly from [1, n_leapfrog]. This
+    # removes the resonance pathologies NUTS exists to fix while keeping the
+    # uniform-compute, scan-friendly structure (Neal 2011 §3.2 jittering).
+    jitter_trajectory: bool = True
 
 
 @struct.dataclass
@@ -88,27 +93,35 @@ class HMC:
             minv = jnp.ones((model.n_params,), ATYPE)
         self.minv = minv
 
-        def leapfrog(theta, p, eps):
-            g = grad_fn(theta)
+        def leapfrog(theta, p, eps, n_active):
+            """n_leapfrog integrator steps; steps beyond ``n_active`` are
+            masked out (uniform compute, per-chain random trajectory length)."""
 
-            def body(_, carry):
+            def body(i, carry):
                 theta, p = carry
-                p = p + 0.5 * eps * grad_fn(theta)
-                theta = theta + eps * minv * p
-                p = p + 0.5 * eps * grad_fn(theta)
-                return theta, p
+                p2 = p + 0.5 * eps * grad_fn(theta)
+                theta2 = theta + eps * minv * p2
+                p2 = p2 + 0.5 * eps * grad_fn(theta2)
+                keep = i < n_active
+                return jnp.where(keep, theta2, theta), jnp.where(keep, p2, p)
 
             return jax.lax.fori_loop(0, config.n_leapfrog, body, (theta, p))
 
         def step_fn(state: HMCState):
-            key, k_mom, k_acc = jax.random.split(state.key, 3)
+            key, k_mom, k_acc, k_len = jax.random.split(state.key, 4)
             c = state.theta.shape[0]
             eps = jnp.exp(state.log_eps)
+            if config.jitter_trajectory:
+                n_active = jax.random.randint(
+                    k_len, (c,), 1, config.n_leapfrog + 1
+                )
+            else:
+                n_active = jnp.full((c,), config.n_leapfrog, jnp.int32)
 
-            def one_chain(theta, logp, km):
+            def one_chain(theta, logp, km, na):
                 p0 = jax.random.normal(km, theta.shape, ATYPE) / jnp.sqrt(minv)
                 ke0 = 0.5 * jnp.sum(minv * p0 * p0)
-                theta_new, p_new = leapfrog(theta, p0, eps)
+                theta_new, p_new = leapfrog(theta, p0, eps, na)
                 logp_new = logp_fn(theta_new)
                 ke_new = 0.5 * jnp.sum(minv * p_new * p_new)
                 log_ratio = (logp_new - ke_new) - (logp - ke0)
@@ -116,7 +129,7 @@ class HMC:
 
             mom_keys = jax.random.split(k_mom, c)
             theta_new, logp_new, log_ratio = jax.vmap(one_chain)(
-                state.theta, state.logp, mom_keys
+                state.theta, state.logp, mom_keys, n_active
             )
             log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
             u = jax.random.uniform(k_acc, (c,), ATYPE)
