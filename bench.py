@@ -25,6 +25,11 @@ def main() -> None:
     if os.environ.get("JAX_PLATFORMS") and "cpu" not in os.environ["JAX_PLATFORMS"]:
         os.environ["JAX_PLATFORMS"] = os.environ["JAX_PLATFORMS"] + ",cpu"
     import jax
+
+    # Persistent compilation cache: remote-TPU compiles take minutes; cached
+    # executables make warm reruns start in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mach3_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
     import numpy as np
 

@@ -77,7 +77,15 @@ def main(argv: list[str] | None = None) -> int:
         log.info("profiler trace written to %s", args.profile)
 
     out = fitter.run(n_steps=n_steps, callback=progress)
-    save_chain(args.output, out, toy.names, config_yaml=cfg.to_yaml())
+    prefit = np.concatenate([np.asarray(ps.prefit) for ps in (toy.xsec, toy.osc)])
+    prefit_err = np.concatenate([np.asarray(ps.errors) for ps in (toy.xsec, toy.osc)])
+    save_chain(
+        args.output,
+        out,
+        toy.names,
+        config_yaml=cfg.to_yaml(),
+        extra_meta={"prefit": prefit.tolist(), "prefit_err": prefit_err.tolist()},
+    )
     save_checkpoint(args.output + ".ckpt", fitter, toy.names, cfg.to_yaml())
     log.info("Wrote %s (+.ckpt)", args.output)
     return 0

@@ -22,6 +22,8 @@ def main(argv: list[str] | None = None) -> int:
                         help="Parameter names for a triangle plot")
     parser.add_argument("--scan", default=None, help="LLH-scan npz to overlay")
     parser.add_argument("--diag", default=None, help="mach3-diag npz output")
+    parser.add_argument("--sigma-var", default=None,
+                        help="mach3-llhscan --sigma-var npz to render")
     from .common import add_common_args, setup_platform
 
     add_common_args(parser)
@@ -35,6 +37,8 @@ def main(argv: list[str] | None = None) -> int:
         plot_llh_scans,
         plot_matrix,
         plot_posteriors_1d,
+        plot_prefit_postfit,
+        plot_sigma_variations,
         plot_triangle,
         plot_violins,
     )
@@ -54,6 +58,17 @@ def main(argv: list[str] | None = None) -> int:
     save(plot_violins(proc), "violins.png")
     save(plot_matrix(proc.correlation(), proc.names, "posterior correlation"), "correlation.png")
 
+    if "prefit" in meta:
+        save(
+            plot_prefit_postfit(
+                proc.names,
+                np.asarray(meta["prefit"], float),
+                np.asarray(meta["prefit_err"], float),
+                proc.summaries(),
+            ),
+            "prefit_postfit.png",
+        )
+
     if args.triangle:
         idx = [proc.names.index(n) for n in args.triangle]
         save(plot_triangle(proc, idx), "triangle.png")
@@ -63,6 +78,24 @@ def main(argv: list[str] | None = None) -> int:
             scan = {k[7:]: f[k] for k in f.files if k.startswith("scan1d_")}
             names = [str(n) for n in f["names"]]
         save(plot_llh_scans(scan, names, per_sample=True), "llh_scans.png")
+
+    if args.sigma_var:
+        with np.load(args.sigma_var, allow_pickle=False) as f:
+            sv_names = [str(n) for n in f["names"]]
+            # keys look like sigvar_<sample>_{hists,sigmas}
+            samples = sorted(
+                {k[len("sigvar_"):-len("_hists")] for k in f.files if k.endswith("_hists")}
+            )
+            for s in samples:
+                sv = {
+                    "hists": f[f"sigvar_{s}_hists"],
+                    "sigmas": f[f"sigvar_{s}_sigmas"],
+                }
+                edges = f.get(f"sigvar_{s}_edges")
+                save(
+                    plot_sigma_variations(sv, edges, sv_names),
+                    f"sigma_variations_{s}.png",
+                )
 
     if args.diag:
         with np.load(args.diag, allow_pickle=False) as f:

@@ -75,6 +75,7 @@ def _mcmc_config(cfg: Config) -> MCMCConfig:
         adaption_start_update=int(adaption.get("StartUpdate", 100)),
         adaption_end_update=int(adaption.get("EndUpdate", 1_000_000)),
         adaption_update_step=int(adaption.get("UpdateStep", 100)),
+        record_breakdown=bool(g.get("RecordLLHBreakdown", False)),
     )
 
 

@@ -77,6 +77,11 @@ class MCMCConfig:
     # rate (reference ``AdaptiveMCMCHandler.h:228-239``, target 0.234).
     robbins_monro: bool = True
     target_accept: float = 0.234
+    # Record per-sample / per-handler -logL pieces each step, the reference's
+    # ``LogL_sample_*`` / ``LogL_systematic_*`` chain branches
+    # (``Fitters/FitterBase.cpp:185-197``). Reuses the step's likelihood
+    # evaluation — no extra reweight.
+    record_breakdown: bool = False
 
 
 def _masked_cholesky(cov: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
@@ -126,7 +131,7 @@ def make_step_fn(
         proposed = jax.vmap(lambda t, k: propose_fn(t, k, state.adaptive))(
             state.theta, prop_keys
         )
-        nll_prop = model.total_nll_batch(proposed)
+        nll_prop, prior_parts, sample_parts = model.total_nll_batch_parts(proposed)
 
         # Acceptance probability (MR2T2.cpp:103-115)
         d_nll = nll_prop - state.nll
@@ -163,6 +168,12 @@ def make_step_fn(
             "acc_prob": acc_prob,
             "accepted": accept,
         }
+        if config.record_breakdown:
+            # Pieces of the PROPOSED step's -logL — matching the reference,
+            # whose per-sample/per-syst branches hold the values of the last
+            # Reweight (the proposal) at tree-fill time.
+            outputs["prior_nll_parts"] = prior_parts
+            outputs["sample_nll_parts"] = sample_parts
         return new_state, outputs
 
     return step_fn

@@ -110,13 +110,31 @@ class FitModel:
         Semantics identical to ``vmap(total_nll)``; preferred inside the MCMC
         step so fused kernels engage.
         """
-        prior = jax.vmap(self.prior_nll)(thetas)
+        total, _, _ = self.total_nll_batch_parts(thetas)
+        return total
+
+    def total_nll_batch_parts(
+        self, thetas: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Batched -logL plus its per-handler and per-sample pieces
+        ([C], [C, H], [C, S]) from ONE evaluation — the pieces feed the
+        reference's ``LogL_systematic_*`` / ``LogL_sample_*`` chain branches
+        (``Fitters/FitterBase.cpp:185-197``)."""
+        prior_parts = jax.vmap(self.prior_nll_breakdown)(thetas)  # [C, H]
+        prior = jnp.sum(prior_parts, axis=1)
         oob = prior >= LARGE_LOGL
-        sample = jnp.zeros((thetas.shape[0],), ATYPE)
-        for s in self.samples:
-            sample = sample + s.log_likelihood_batch(thetas)
+        if self.samples:
+            sample_parts = jnp.stack(
+                [s.log_likelihood_batch(thetas) for s in self.samples], axis=1
+            )  # [C, S]
+        else:
+            sample_parts = jnp.zeros((thetas.shape[0], 0), ATYPE)
+        sample = jnp.sum(sample_parts, axis=1)
         n_samples = len(self.samples)
-        return prior + jnp.where(oob, n_samples * jnp.asarray(LARGE_LOGL, ATYPE), sample)
+        total = prior + jnp.where(
+            oob, n_samples * jnp.asarray(LARGE_LOGL, ATYPE), sample
+        )
+        return total, prior_parts, sample_parts
 
     # Convenience for HMC/NUTS: differentiable log-density (no sentinel).
     def log_posterior(self, theta: jnp.ndarray) -> jnp.ndarray:

@@ -149,6 +149,11 @@ class ParameterSet:
         self.flip_mask = flip_mask
         self.flip_point = flip_point
         self.global_step_scale = 1.0
+        # Proposal (throw) matrix — defaults to the prior covariance but can
+        # be overridden wholesale or per sub-block, mirroring the reference's
+        # SetThrowMatrix / throw-matrix sub-block file overrides
+        # (``Parameters/ParameterHandlerBase.cpp:158-236``).
+        self._throw_matrix: np.ndarray | None = None
 
     # ------------------------------------------------------------- queries
     def __len__(self) -> int:
@@ -184,6 +189,56 @@ class ParameterSet:
         for m in self.meta:
             if m.group == group:
                 self.fixed[m.index] = True
+
+    # ------------------------------------------------- throw-matrix override
+    @property
+    def throw_matrix(self) -> np.ndarray:
+        """Proposal covariance: the prior covariance unless overridden."""
+        return self.covariance if self._throw_matrix is None else self._throw_matrix
+
+    def set_throw_matrix(self, matrix: np.ndarray) -> None:
+        """Replace the full proposal covariance (``SetThrowMatrix``,
+        ``Parameters/ParameterHandlerBase.cpp:1104+``). Must be pos-def of
+        matching dimension; made pos-def with diagonal inflation if needed."""
+        matrix = np.asarray(matrix, np.float64)
+        if matrix.shape != (len(self), len(self)):
+            raise ConfigError(
+                f"Throw matrix shape {matrix.shape} != ({len(self)}, {len(self)})"
+            )
+        self._throw_matrix = make_pos_def(matrix)
+
+    def set_throw_submatrix(
+        self, names: Sequence[str], submatrix: np.ndarray
+    ) -> None:
+        """Override the proposal covariance for a named sub-block, zeroing its
+        correlations with the rest (the reference's throw-matrix sub-block
+        override from file, ``Parameters/ParameterHandlerBase.cpp:158-236``)."""
+        idx = np.asarray([self.index_of(n) for n in names], np.int64)
+        submatrix = np.asarray(submatrix, np.float64)
+        if submatrix.shape != (len(idx), len(idx)):
+            raise ConfigError(
+                f"Sub-matrix shape {submatrix.shape} != ({len(idx)}, {len(idx)})"
+            )
+        full = np.array(self.throw_matrix, np.float64)
+        full[np.ix_(idx, idx)] = submatrix
+        # Cross terms between the overridden block and everything else are no
+        # longer meaningful — zero them, as the reference does when splicing.
+        rest = np.setdiff1d(np.arange(len(self)), idx)
+        full[np.ix_(idx, rest)] = 0.0
+        full[np.ix_(rest, idx)] = 0.0
+        self._throw_matrix = make_pos_def(full)
+
+    def set_throw_matrix_from_file(self, path: str, key: str = "matrix") -> None:
+        """Load a (sub-)throw matrix from an npz file with ``matrix`` and
+        optional ``names`` arrays; with names present only that block is
+        overridden."""
+        with np.load(path, allow_pickle=False) as f:
+            matrix = f[key]
+            names = [str(n) for n in f["names"]] if "names" in f.files else None
+        if names is None:
+            self.set_throw_matrix(matrix)
+        else:
+            self.set_throw_submatrix(names, matrix)
 
     # ------------------------------------------------------- construction
     @classmethod

@@ -60,7 +60,10 @@ class PriorModel:
         inv_cov = np.linalg.inv(ps.covariance)
         keep = (~flat).astype(np.float64)
         inv_cov = inv_cov * np.outer(keep, keep)
-        chol = np.linalg.cholesky(ps.covariance)
+        # The prior always uses the nominal covariance; the PROPOSAL uses the
+        # throw matrix, which may carry full/sub-block overrides
+        # (``ParameterHandlerBase.cpp:158-236``).
+        chol = np.linalg.cholesky(ps.throw_matrix)
         scale = ps.step_scales * ps.global_step_scale * (~ps.fixed)
         return cls(
             prefit=jnp.asarray(ps.prefit, ATYPE),
@@ -89,16 +92,21 @@ def circular_wrap(value: jnp.ndarray, low: jnp.ndarray, high: jnp.ndarray) -> jn
 
 
 def propose_step(
-    model: PriorModel, current: jnp.ndarray, key: jax.Array
+    model: PriorModel, current: jnp.ndarray, key: jax.Array,
+    z: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """One correlated Metropolis proposal for a single chain.
 
     current: [P] -> proposed: [P]. vmap over chains for the batch axis.
+    ``z`` injects the standard-normal throws directly, the reference's
+    ``SetRandomThrow`` CI/debug hook (``ParameterHandlerBase.h:68-74``);
+    by default they are drawn from ``key``.
     """
     key_norm, key_flip = jax.random.split(key)
     # z dimension follows the throw-matrix columns: square Cholesky normally,
     # rectangular [P, K] when a PCA-reduced basis is in use (params/pca.py).
-    z = jax.random.normal(key_norm, (model.chol.shape[1],), dtype=ATYPE)
+    if z is None:
+        z = jax.random.normal(key_norm, (model.chol.shape[1],), dtype=ATYPE)
     # Correlated throw: chol @ z, scaled per-parameter. Fixed params have
     # step_scale 0 so they never move (reference zeroes their randParams).
     delta = model.chol @ z

@@ -6,9 +6,13 @@ from .monolith import (
     SplineParamSpec,
     build_dense_table,
     build_sparse_table,
+    load_table,
+    save_table,
 )
 
 __all__ = [
+    "load_table",
+    "save_table",
     "build_coefficients",
     "evaluate_spline_np",
     "eval_dense",

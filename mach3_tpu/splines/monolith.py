@@ -232,3 +232,51 @@ def build_sparse_table(
         n_knots=jnp.asarray(n_knots, ITYPE),
         param_index=jnp.asarray([s.param_index for s in specs], ITYPE),
     )
+
+
+# ---------------------------------------------------------------------------
+# Preprocessed-monolith fast path: the reference can dump its flattened SoA
+# monolith to a ROOT file and reload it to skip the (slow) master-spline scan
+# at startup (``Splines/SplineMonolith.h:48-52``). Here the flattened tables
+# are plain arrays, so the fast path is a versioned npz round-trip.
+# ---------------------------------------------------------------------------
+
+_MONOLITH_FORMAT = 1
+
+
+def save_table(path: str, table: DenseSplineTable | SparseSplineTable) -> None:
+    """Dump a prebuilt spline table so startup can skip coefficient
+    construction (reference's preprocessed-monolith file)."""
+    fields = {
+        name: np.asarray(getattr(table, name))
+        for name in (
+            f.name for f in dataclasses.fields(table) if not f.metadata.get("pytree_node") is False
+        )
+    }
+    kind = "dense" if isinstance(table, DenseSplineTable) else "sparse"
+    np.savez_compressed(
+        path,
+        __format__=np.int32(_MONOLITH_FORMAT),
+        __kind__=np.array(kind),
+        **fields,
+    )
+    _log.info("Saved %s spline table to %s", kind, path)
+
+
+def load_table(path: str) -> DenseSplineTable | SparseSplineTable:
+    """Reload a table written by :func:`save_table`."""
+    with np.load(path, allow_pickle=False) as f:
+        fmt = int(f["__format__"])
+        if fmt != _MONOLITH_FORMAT:
+            raise ValueError(
+                f"{path}: spline-table format {fmt} != supported {_MONOLITH_FORMAT}"
+            )
+        kind = str(f["__kind__"])
+        arrays = {k: f[k] for k in f.files if not k.startswith("__")}
+    cls = DenseSplineTable if kind == "dense" else SparseSplineTable
+    jarrays = {
+        k: jnp.asarray(v, FTYPE if v.dtype.kind == "f" else ITYPE)
+        for k, v in arrays.items()
+    }
+    _log.info("Loaded %s spline table from %s", kind, path)
+    return cls(**jarrays)

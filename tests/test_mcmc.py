@@ -134,3 +134,22 @@ def test_resume_continues_chain():
     step_mid = int(f1.state.step)
     f1.run(n_steps=100)
     assert int(f1.state.step) == step_mid + 100
+
+
+def test_record_breakdown_branches():
+    """record_breakdown adds per-handler / per-sample -logL arrays whose sums
+    reproduce the total (``FitterBase.cpp:185-197`` branch parity)."""
+    import numpy as np
+    from mach3_tpu.tutorial.toy import build_toy
+    from mach3_tpu.fitters.mcmc import MR2T2, MCMCConfig
+
+    toy = build_toy(n_events=500, seed=7)
+    init = np.tile(np.asarray(toy.model.prefit_vector()), (4, 1))
+    f = MR2T2(toy.model, MCMCConfig(chunk_size=10, record_breakdown=True), init, seed=0)
+    out = f.run(n_steps=20)
+    assert out["prior_nll_parts"].shape == (20, 4, 2)  # xsec + osc handlers
+    assert out["sample_nll_parts"].shape == (20, 4, len(toy.samples))
+    # On accepted steps the proposed pieces ARE the current state's pieces:
+    acc = out["accepted"]
+    total = out["prior_nll_parts"].sum(-1) + out["sample_nll_parts"].sum(-1)
+    assert np.allclose(total[acc], out["nll"][acc], rtol=1e-10)

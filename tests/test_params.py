@@ -222,3 +222,60 @@ def test_cli_override_and_merge():
     cfg.merge({"General": {"MCMC": {"AutoSave": 500}}})
     assert cfg.get("General.MCMC.NSteps") == 50000
     assert cfg.get("General.MCMC.AutoSave") == 500
+
+
+def test_throw_matrix_override_full_and_subblock(tmp_path):
+    """SetThrowMatrix semantics (``ParameterHandlerBase.cpp:158-236``): the
+    proposal uses the throw matrix, the prior keeps the nominal covariance."""
+    ps = make_simple_set()
+    nominal = ps.covariance.copy()
+    assert np.allclose(ps.throw_matrix, nominal)
+
+    # Full override
+    new = np.diag([0.1, 0.2, 0.3, 0.4]) ** 2
+    ps.set_throw_matrix(new)
+    assert np.allclose(ps.throw_matrix, new)
+    assert np.allclose(ps.covariance, nominal)  # prior untouched
+
+    # Sub-block override zeroes cross terms with the rest
+    ps2 = make_simple_set()
+    sub = np.array([[4.0, 1.0], [1.0, 9.0]])
+    ps2.set_throw_submatrix(["b", "c"], sub)
+    tm = ps2.throw_matrix
+    ib, ic = ps2.index_of("b"), ps2.index_of("c")
+    assert tm[ib, ib] == pytest.approx(4.0)
+    assert tm[ic, ic] == pytest.approx(9.0)
+    assert tm[ib, ic] == pytest.approx(1.0)
+    ia = ps2.index_of("a")
+    assert tm[ia, ib] == 0.0 and tm[ic, ia] == 0.0
+    assert tm[ia, ia] == pytest.approx(nominal[ia, ia])
+
+    # File round-trip with names -> sub-block path
+    f = tmp_path / "throw.npz"
+    np.savez(f, matrix=sub, names=np.asarray(["b", "c"]))
+    ps3 = make_simple_set()
+    ps3.set_throw_matrix_from_file(str(f))
+    assert np.allclose(ps3.throw_matrix, ps2.throw_matrix)
+
+    # Proposal respects the override: with a tiny diagonal throw matrix, the
+    # proposal spread shrinks accordingly.
+    ps4 = make_simple_set()
+    ps4.set_throw_matrix(np.eye(4) * 1e-8)
+    model = PriorModel.from_parameter_set(ps4)
+    keys = jax.random.split(jax.random.key(0), 500)
+    props = jax.vmap(lambda k: propose_step(model, model.prefit, k))(keys)
+    assert float(jnp.std(props[:, 0])) < 1e-3
+
+    with pytest.raises(ConfigError):
+        ps.set_throw_matrix(np.eye(3))
+
+
+def test_propose_step_z_injection():
+    """``SetRandomThrow`` CI hook (``ParameterHandlerBase.h:68-74``): injected
+    standard-normal throws reproduce chol @ z exactly (no flips configured)."""
+    ps = make_simple_set()
+    model = PriorModel.from_parameter_set(ps)
+    z = jnp.asarray([1.0, -2.0, 0.5, 0.0])
+    prop = propose_step(model, model.prefit, jax.random.key(3), z=z)
+    expected = model.prefit + (model.chol @ z) * model.step_scale
+    assert np.allclose(np.asarray(prop), np.asarray(expected))

@@ -199,3 +199,38 @@ def test_knot_capping():
     w_high = np.asarray(eval_dense(dense, jnp.asarray([1.0])))
     assert np.allclose(w_low, 2.0)  # capped from 5
     assert np.allclose(w_high, 0.0)  # capped from -3
+
+
+def test_table_save_load_roundtrip(tmp_path):
+    """Preprocessed-monolith fast path (``Splines/SplineMonolith.h:48-52``):
+    tables round-trip through npz and evaluate identically."""
+    from mach3_tpu.splines.monolith import load_table, save_table
+
+    specs = _toy_specs()
+    n_events = 50
+    theta = jnp.zeros(6).at[2].set(0.7).at[4].set(-1.3)
+
+    dense = build_dense_table(specs, n_events)
+    sparse = build_sparse_table(specs, n_events)
+    f_d, f_s = str(tmp_path / "dense.npz"), str(tmp_path / "sparse.npz")
+    save_table(f_d, dense)
+    save_table(f_s, sparse)
+    dense2 = load_table(f_d)
+    sparse2 = load_table(f_s)
+    assert type(dense2) is type(dense) and type(sparse2) is type(sparse)
+    np.testing.assert_array_equal(np.asarray(dense.coeffs), np.asarray(dense2.coeffs))
+    w1 = np.asarray(eval_dense(dense, theta))
+    w2 = np.asarray(eval_dense(dense2, theta))
+    np.testing.assert_array_equal(w1, w2)
+    s1 = np.asarray(eval_sparse(sparse, theta))
+    s2 = np.asarray(eval_sparse(sparse2, theta))
+    np.testing.assert_array_equal(s1, s2)
+
+    # Version guard
+    import numpy as _np
+    bad = {k: _np.asarray(v) for k, v in
+           _np.load(f_d, allow_pickle=False).items()}
+    bad["__format__"] = _np.int32(99)
+    _np.savez(str(tmp_path / "bad.npz"), **bad)
+    with pytest.raises(ValueError):
+        load_table(str(tmp_path / "bad.npz"))
