@@ -124,8 +124,13 @@ class FitModel:
         prior = jnp.sum(prior_parts, axis=1)
         oob = prior >= LARGE_LOGL
         if self.samples:
+            osc_tables = self._shared_osc_tables(thetas)
             sample_parts = jnp.stack(
-                [s.log_likelihood_batch(thetas) for s in self.samples], axis=1
+                [
+                    s.log_likelihood_batch(thetas, osc_grids_batch=osc_tables[i])
+                    for i, s in enumerate(self.samples)
+                ],
+                axis=1,
             )  # [C, S]
         else:
             sample_parts = jnp.zeros((thetas.shape[0], 0), ATYPE)
@@ -135,6 +140,26 @@ class FitModel:
             oob, n_samples * jnp.asarray(LARGE_LOGL, ATYPE), sample
         )
         return total, prior_parts, sample_parts
+
+    def _shared_osc_tables(self, thetas: jnp.ndarray) -> list:
+        """Per-sample oscillation tables, computed ONCE per unique grid.
+
+        The reference shares NuOscillator calcers across samples/channels with
+        equal binning — "up to 12x" time saving (``OscillationHandler.cpp:18-35``).
+        Grouping happens at trace time via host-side signatures; each unique
+        table is evaluated once per chain batch and handed to every sample in
+        its group.
+        """
+        tables: list = [None] * len(self.samples)
+        by_sig: dict = {}
+        for i, s in enumerate(self.samples):
+            sig = s.osc_share_signature()
+            if sig is None:
+                continue
+            if sig not in by_sig:
+                by_sig[sig] = jax.vmap(s.osc_prob_grids)(thetas)
+            tables[i] = by_sig[sig]
+        return tables
 
     # Convenience for HMC/NUTS: differentiable log-density (no sentinel).
     def log_posterior(self, theta: jnp.ndarray) -> jnp.ndarray:

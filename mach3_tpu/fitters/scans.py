@@ -216,9 +216,11 @@ def drag_race(model: FitModel, n_laps: int = 20, n_chains: int = 8) -> dict[str,
         timings[name] = (time.perf_counter() - t0) / n_laps
 
     for i, s in enumerate(model.samples):
-        timeit(f"reweight[{s.name}]", jax.jit(jax.vmap(lambda t, s=s: s.reweight(t)[0])), theta)
+        # Batched paths — the same code the MCMC step runs (fused Pallas
+        # kernel when enabled), not a vmap of the single-chain path.
+        timeit(f"reweight[{s.name}]", jax.jit(lambda t, s=s: s.reweight_batch(t)[0]), theta)
         timeit(
-            f"likelihood[{s.name}]", jax.jit(jax.vmap(lambda t, s=s: s.log_likelihood(t))), theta
+            f"likelihood[{s.name}]", jax.jit(lambda t, s=s: s.log_likelihood_batch(t)), theta
         )
     keys = jax.random.split(key, n_chains)
     timeit("propose", jax.jit(jax.vmap(model.propose)), theta, keys)

@@ -79,6 +79,46 @@ class OscConfig:
     # below MC statistics. Set to jnp.float64 for exact-parity studies.
     dtype: jnp.dtype = struct.field(pytree_node=False, default=jnp.float32)
 
+    def prob_grids(self, params: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Raw (nu, antinu) probability grids [NE, 3, 3] — the expensive part,
+        shareable between all samples with equal (grid, baseline, density)
+        regardless of which channels each reads
+        (``OscillationHandler.cpp:18-35`` shared calcer)."""
+        osc_pars = OscParams.from_array(params[self.osc_param_idx].astype(ATYPE))
+        p_nu = probabilities_const_density(
+            osc_pars, self.e_grid, length=self.baseline, rho=self.density,
+            ye=self.electron_fraction, antineutrino=False, dtype=self.dtype,
+        )
+        p_bar = probabilities_const_density(
+            osc_pars, self.e_grid, length=self.baseline, rho=self.density,
+            ye=self.electron_fraction, antineutrino=True, dtype=self.dtype,
+        )
+        return p_nu, p_bar
+
+    def chan_table(
+        self, params: jnp.ndarray, grids: tuple | None = None
+    ) -> jnp.ndarray:
+        """Per-channel probability rows [NC, NE]; channel selection is a cheap
+        slice on top of (possibly shared) grids."""
+        p_nu, p_bar = self.prob_grids(params) if grids is None else grids
+        chan_nu = p_nu[:, self.chan_alpha, self.chan_beta].T
+        chan_bar = p_bar[:, self.chan_alpha, self.chan_beta].T
+        return jnp.where(self.chan_anti[:, None], chan_bar, chan_nu)  # [NC, NE]
+
+    def share_signature(self) -> tuple:
+        """Host-side key: configs with equal keys produce identical grids."""
+        import numpy as _np
+
+        return (
+            "beam",
+            _np.asarray(self.e_grid).tobytes(),
+            _np.asarray(self.osc_param_idx).tobytes(),
+            float(self.baseline),
+            float(self.density),
+            float(self.electron_fraction),
+            str(self.dtype),
+        )
+
 
 @struct.dataclass
 class AtmoOscConfig:
@@ -100,21 +140,49 @@ class AtmoOscConfig:
     osc_param_idx: jnp.ndarray | None = None  # [6] i32
     dtype: jnp.dtype = struct.field(pytree_node=False, default=jnp.float32)
 
-    def weights(self, params: jnp.ndarray, n_events: int) -> jnp.ndarray:
+    def prob_grids(self, params: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Raw (nu, antinu) probability grids [NZ, NE, 3, 3] — the expensive
+        part, shareable between samples with identical path/energy grids
+        regardless of channels (``OscillationHandler.cpp:18-35``)."""
         osc_pars = OscParams.from_array(params[self.osc_param_idx].astype(ATYPE))
         p_nu = probabilities_layered(
             osc_pars, self.e_grid, self.layer_lengths, self.layer_rho,
             antineutrino=False, dtype=self.dtype,
-        )  # [NZ, NE, 3, 3]
+        )
         p_bar = probabilities_layered(
             osc_pars, self.e_grid, self.layer_lengths, self.layer_rho,
             antineutrino=True, dtype=self.dtype,
         )
+        return p_nu, p_bar
+
+    def chan_table(
+        self, params: jnp.ndarray, grids: tuple | None = None
+    ) -> jnp.ndarray:
+        """Flat per-channel table [NC*NZ*NE] from (possibly shared) grids."""
+        p_nu, p_bar = self.prob_grids(params) if grids is None else grids
         chan_nu = p_nu[:, :, self.chan_alpha, self.chan_beta]  # [NZ, NE, NC]
         chan_bar = p_bar[:, :, self.chan_alpha, self.chan_beta]
         chan = jnp.where(self.chan_anti[None, None, :], chan_bar, chan_nu)
         # reorder to [NC, NZ, NE] then flatten for the single static gather
-        table = jnp.moveaxis(chan, -1, 0).reshape(-1)
+        return jnp.moveaxis(chan, -1, 0).reshape(-1)
+
+    def share_signature(self) -> tuple:
+        """Host-side key: configs with equal keys produce identical grids."""
+        import numpy as _np
+
+        return (
+            "atmo",
+            _np.asarray(self.e_grid).tobytes(),
+            _np.asarray(self.layer_lengths).tobytes(),
+            _np.asarray(self.layer_rho).tobytes(),
+            _np.asarray(self.osc_param_idx).tobytes(),
+            str(self.dtype),
+        )
+
+    def weights(
+        self, params: jnp.ndarray, n_events: int, grids: tuple | None = None
+    ) -> jnp.ndarray:
+        table = self.chan_table(params, grids)
         w = jnp.take(table, self.event_flat_idx, axis=0).astype(FTYPE)
         return jnp.where(self.nc_mask, jnp.ones((), FTYPE), w)
 
@@ -174,35 +242,20 @@ class SampleModel:
             return eval_dense(self.spline_table, params)
         return eval_sparse(self.spline_table, params)
 
-    def _osc_weights(self, params: jnp.ndarray) -> jnp.ndarray:
+    def _osc_weights(
+        self, params: jnp.ndarray, osc_grids: tuple | None = None
+    ) -> jnp.ndarray:
+        """``osc_grids`` optionally injects precomputed (nu, antinu)
+        probability grids (see ``prob_grids``) so samples sharing a grid
+        compute them once per step — the reference's shared-calcer saving
+        (``OscillationHandler.cpp:18-35``). Channel selection stays
+        per-sample."""
         if self.osc is None:
             return jnp.ones((self.n_events,), FTYPE)
         if isinstance(self.osc, AtmoOscConfig):
-            return self.osc.weights(params, self.n_events)
+            return self.osc.weights(params, self.n_events, grids=osc_grids)
         o = self.osc
-        osc_pars = OscParams.from_array(params[o.osc_param_idx].astype(ATYPE))
-        p_nu = probabilities_const_density(
-            osc_pars,
-            o.e_grid,
-            length=o.baseline,
-            rho=o.density,
-            ye=o.electron_fraction,
-            antineutrino=False,
-            dtype=o.dtype,
-        )  # [NE, 3, 3]
-        p_bar = probabilities_const_density(
-            osc_pars,
-            o.e_grid,
-            length=o.baseline,
-            rho=o.density,
-            ye=o.electron_fraction,
-            antineutrino=True,
-            dtype=o.dtype,
-        )
-        # Per-channel probability rows: [NC, NE]
-        chan_nu = p_nu[:, o.chan_alpha, o.chan_beta].T
-        chan_bar = p_bar[:, o.chan_alpha, o.chan_beta].T
-        chan = jnp.where(o.chan_anti[:, None], chan_bar, chan_nu)  # [NC, NE]
+        chan = o.chan_table(params, grids=osc_grids)  # [NC, NE]
         # Per-event lookup as ONE flat 1-D gather with static indices: the 2-D
         # advanced-index form lowered to a pathological expansion on TPU
         # (measured 14 GB of traffic for a 20k-event sample).
@@ -220,40 +273,53 @@ class SampleModel:
         return kin
 
     # ---------------------------------------------------------- reweight
-    def reweight(self, params: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def reweight(
+        self, params: jnp.ndarray, osc_grids: tuple | None = None
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Full event reweight + histogram fill: params [NP] -> (mc [B], w2 [B])."""
         w = (
             self.mc_weight
             * self._norm_weights(params)
             * self._spline_weights(params)
-            * self._osc_weights(params)
+            * self._osc_weights(params, osc_grids)
         )
         kin = self._shifted_kinematics(params)
         bins = self.binning.find_bins(kin)
         return histogram(w, bins, self.n_bins)
 
-    def log_likelihood(self, params: jnp.ndarray) -> jnp.ndarray:
+    def log_likelihood(
+        self, params: jnp.ndarray, osc_grids: tuple | None = None
+    ) -> jnp.ndarray:
         """-logL of this sample (f64 scalar), ``GetLikelihood`` equivalent."""
-        mc, w2 = self.reweight(params)
+        mc, w2 = self.reweight(params, osc_grids)
         stat_fn = get_test_stat_fn(self.test_statistic)
         per_bin = stat_fn(self.data, mc.astype(ATYPE), w2.astype(ATYPE))
         return jnp.sum(per_bin)
 
     # ------------------------------------------------------ batched (chains)
-    def reweight_batch(self, thetas: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def reweight_batch(
+        self, thetas: jnp.ndarray, osc_grids_batch: tuple | None = None
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Chain-batched reweight: thetas [C, NP] -> (mc [C, B], w2 [C, B]).
 
         With ``use_pallas`` and a dense spline table, the spline product +
         histogram run in the fused kernel (one VMEM pass); the osc/norm/bin
         pieces are computed with vmapped XLA either way.
+        ``osc_grids_batch`` optionally injects per-chain (nu, antinu)
+        probability grids computed once for all samples sharing a grid.
         """
+        oc = (None,) if osc_grids_batch is None else (osc_grids_batch,)
+        in_axes = (0, None if osc_grids_batch is None else 0)
         if not (self.use_pallas and isinstance(self.spline_table, DenseSplineTable)):
-            return jax.vmap(self.reweight)(thetas)
+            return jax.vmap(self.reweight, in_axes=in_axes)(thetas, *oc)
         from ..splines.pallas_reweight import fused_reweight_histogram, spline_selector
 
         base_w = jax.vmap(
-            lambda t: self.mc_weight * self._norm_weights(t) * self._osc_weights(t)
-        )(thetas)
+            lambda t, c: self.mc_weight
+            * self._norm_weights(t)
+            * self._osc_weights(t, c),
+            in_axes=in_axes,
+        )(thetas, *oc)
         bins = jax.vmap(
             lambda t: self.binning.find_bins(self._shifted_kinematics(t))
         )(thetas)
@@ -266,12 +332,26 @@ class SampleModel:
             selector, coeffs, base_w, bins, n_bins=self.n_bins
         )
 
-    def log_likelihood_batch(self, thetas: jnp.ndarray) -> jnp.ndarray:
+    def log_likelihood_batch(
+        self, thetas: jnp.ndarray, osc_grids_batch: tuple | None = None
+    ) -> jnp.ndarray:
         """[C, NP] -> [C] -logL."""
-        mc, w2 = self.reweight_batch(thetas)
+        mc, w2 = self.reweight_batch(thetas, osc_grids_batch)
         stat_fn = get_test_stat_fn(self.test_statistic)
         per_bin = stat_fn(self.data[None, :], mc.astype(ATYPE), w2.astype(ATYPE))
         return jnp.sum(per_bin, axis=1)
+
+    def osc_prob_grids(self, params: jnp.ndarray) -> tuple | None:
+        """This sample's raw probability grids (None without oscillation)."""
+        if self.osc is None:
+            return None
+        return self.osc.prob_grids(params)
+
+    def osc_share_signature(self) -> tuple | None:
+        """Host-side sharing key; equal keys -> identical ``chan_table``."""
+        if self.osc is None:
+            return None
+        return self.osc.share_signature()
 
     def with_data(self, data) -> "SampleModel":
         return self.replace(data=jnp.asarray(data, ATYPE))

@@ -31,7 +31,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.precision import FTYPE
 
 
-def _kernel(selector_ref, base_ref, bins_ref, coeffs_ref, mc_ref, w2_ref, *, n_params, n_bins):
+def _kernel(
+    selector_ref, base_ref, bins_ref, coeffs_ref, mc_ref, w2_ref,
+    *, n_params, n_bins, radix,
+):
     """Grid (ce, ee); event tiles innermost so the [CT, B] output block stays
     resident and accumulates across event tiles."""
     ee = pl.program_id(1)
@@ -52,26 +55,44 @@ def _kernel(selector_ref, base_ref, bins_ref, coeffs_ref, mc_ref, w2_ref, *, n_p
         )
         w = w * resp
 
-    # Histogram: bins [CT, ET] i32 -> one-hot matmuls into [CT, B].
-    # Mosaic supports plain 2-D dots, so loop the (small, static) chain tile:
-    # per chain, onehot [ET, B] stays in VMEM and both Σw and Σw² are
-    # [1, ET] @ [ET, B] MXU products. bins == n_bins marks out-of-range
-    # events; the iota runs 0..B-1 so they match nothing (garbage-bin drop).
+    # Histogram via RADIX-FACTORISED one-hots. A direct one-hot contraction
+    # costs O(B) compares per event plus an MXU-hostile M=1 dot per chain.
+    # Splitting the bin id into digits b = hi*R + lo gives, per chain, two
+    # small one-hots (Bhi + R compares per event) and ONE well-shaped matmul
+    #   [2*Bhi, ET] @ [ET, R]  ->  (Σw, Σw²) for all (hi, lo) bins at once,
+    # with rows 0..Bhi-1 carrying w·1[hi] and rows Bhi.. carrying w²·1[hi].
+    # Out-of-range/padded events use bin id n_bins, which lands in the
+    # sliced-off tail of the (Bhi*R >= n_bins+1) flat output. Mosaic
+    # constraints respected: plain 2-D dots, i32 everywhere.
     bins = bins_ref[:]
     chain_tile = bins.shape[0]
-    bin_ids = jax.lax.broadcasted_iota(jnp.int32, (bins.shape[1], n_bins), 1)
+    et = bins.shape[1]
+    radix_bits = radix.bit_length() - 1  # radix is a power of two
+    n_hi = (n_bins + radix) // radix  # ceil((n_bins+1)/radix): garbage fits
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (et, radix), 1)
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (n_hi, et), 0)
     for c in range(chain_tile):
-        onehot = (bins[c][:, None] == bin_ids).astype(jnp.float32)  # [ET, B]
-        wc = w[c : c + 1]  # [1, ET]
-        mc_ref[c : c + 1, :] += jax.lax.dot_general(
-            wc, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        w2_ref[c : c + 1, :] += jax.lax.dot_general(
-            wc * wc, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        # Digit split via shift/mask: integer div/mod lower through float
+        # conversion chains Mosaic cannot legalize.
+        hi = jax.lax.shift_right_logical(bins[c], jnp.int32(radix_bits))
+        lo = jnp.bitwise_and(bins[c], jnp.int32(radix - 1))
+        oh_lo = (lo[:, None] == iota_lo).astype(jnp.float32)  # [ET, R]
+        oh_hi = (hi[None, :] == iota_hi).astype(jnp.float32)  # [Bhi, ET]
+        wc = w[c]  # [ET]
+        zw = oh_hi * wc[None, :]  # [Bhi, ET] w masked by hi digit
+        z = jnp.concatenate([zw, zw * wc[None, :]], axis=0)  # [2*Bhi, ET]
+        res = jax.lax.dot_general(
+            z, oh_lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [2*Bhi, R]
+        # Outputs are [CT, Bhi, R]; the (hi, lo) -> flat-bin reshape happens
+        # in XLA outside (Mosaic cannot reshape across the sublane/lane split).
+        mc_ref[c] += res[:n_hi]
+        w2_ref[c] += res[n_hi:]
 
 
-@functools.partial(jax.jit, static_argnames=("n_bins", "chain_tile", "event_tile"))
+@functools.partial(
+    jax.jit, static_argnames=("n_bins", "chain_tile", "event_tile", "radix")
+)
 def fused_reweight_histogram(
     selector: jnp.ndarray,  # [C, P, K4] f32
     coeffs: jnp.ndarray,  # [P, K4, E] f32
@@ -79,7 +100,8 @@ def fused_reweight_histogram(
     bins: jnp.ndarray,  # [C, E] i32  (n_bins = out of range)
     n_bins: int,
     chain_tile: int = 8,
-    event_tile: int = 2048,
+    event_tile: int = 4096,
+    radix: int = 16,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (mc [C, B], w2 [C, B]) in f32."""
     c, p, k4 = selector.shape
@@ -99,54 +121,60 @@ def fused_reweight_histogram(
     cp, ep = c + cpad, e + epad
 
     grid = (cp // chain_tile, ep // event_tile)
-    kernel = functools.partial(_kernel, n_params=p, n_bins=n_bins)
+    kernel = functools.partial(_kernel, n_params=p, n_bins=n_bins, radix=radix)
     # Index maps build their zero constants INSIDE the lambda as explicit i32:
     # with jax_enable_x64 bare literals become i64 (Mosaic cannot legalize),
     # and closure-captured jnp constants are rejected by pallas.
     i32 = jnp.int32
+    in_specs = [
+        pl.BlockSpec(
+            (chain_tile, p, k4),
+            lambda ce, ee: (ce, i32(0), i32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (chain_tile, event_tile),
+            lambda ce, ee: (ce, ee),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (chain_tile, event_tile),
+            lambda ce, ee: (ce, ee),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (p, k4, event_tile),
+            lambda ce, ee: (i32(0), i32(0), ee),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    n_hi = (n_bins + radix) // radix
     mc, w2 = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
+        in_specs=in_specs,
+        out_specs=(
             pl.BlockSpec(
-                (chain_tile, p, k4),
+                (chain_tile, n_hi, radix),
                 lambda ce, ee: (ce, i32(0), i32(0)),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (chain_tile, event_tile),
-                lambda ce, ee: (ce, ee),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (chain_tile, event_tile),
-                lambda ce, ee: (ce, ee),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (p, k4, event_tile),
-                lambda ce, ee: (i32(0), i32(0), ee),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (chain_tile, n_bins),
-                lambda ce, ee: (ce, i32(0)),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (chain_tile, n_bins),
-                lambda ce, ee: (ce, i32(0)),
+                (chain_tile, n_hi, radix),
+                lambda ce, ee: (ce, i32(0), i32(0)),
                 memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((cp, n_bins), jnp.float32),
-            jax.ShapeDtypeStruct((cp, n_bins), jnp.float32),
+            jax.ShapeDtypeStruct((cp, n_hi, radix), jnp.float32),
+            jax.ShapeDtypeStruct((cp, n_hi, radix), jnp.float32),
         ),
     )(selector, base_w, bins, coeffs)
-    return mc[:c], w2[:c]
+    # (hi, lo) digits -> flat bin id; the padded tail (incl. the garbage bin
+    # n_bins for out-of-range/padded events) is sliced away here, in XLA.
+    mc = mc.reshape(cp, n_hi * radix)[:c, :n_bins]
+    w2 = w2.reshape(cp, n_hi * radix)[:c, :n_bins]
+    return mc, w2
 
 
 def spline_selector(table, params_batch: jnp.ndarray) -> jnp.ndarray:

@@ -187,3 +187,36 @@ def test_likelihood_zero_on_asimov():
     theta = jnp.asarray([0.0])
     sm = sm.with_data(sm.asimov_data(theta))
     assert float(jax.jit(sm.log_likelihood)(theta)) == pytest.approx(0.0, abs=1e-10)
+
+
+def test_shared_osc_tables_match_unshared():
+    """Osc-table sharing (``OscillationHandler.cpp:18-35`` equivalent) is a
+    pure optimisation: batched totals identical with and without injection."""
+    import jax
+    import numpy as np
+    from mach3_tpu.tutorial.toy import build_toy
+
+    toy = build_toy(n_events=1500, seed=3)
+    thetas = np.tile(np.asarray(toy.model.prefit_vector()), (5, 1))
+    thetas = thetas + 1e-2 * np.random.default_rng(0).normal(size=thetas.shape)
+    thetas = jnp.asarray(thetas)
+
+    # Both toy samples share grid/baseline -> one unique signature
+    sigs = {s.osc_share_signature() for s in toy.samples}
+    assert len(sigs) == 1
+
+    total_shared, _, parts_shared = toy.model.total_nll_batch_parts(thetas)
+    parts_direct = jnp.stack(
+        [s.log_likelihood_batch(thetas) for s in toy.samples], axis=1
+    )
+    np.testing.assert_allclose(
+        np.asarray(parts_shared), np.asarray(parts_direct), rtol=1e-12
+    )
+    # Total follows the OOB-sentinel semantics of total_nll (MR2T2.cpp:51-99)
+    from mach3_tpu.core.precision import LARGE_LOGL
+
+    prior = jax.vmap(toy.model.prior_nll)(thetas)
+    expected = prior + jnp.where(
+        prior >= LARGE_LOGL, len(toy.samples) * LARGE_LOGL, parts_direct.sum(axis=1)
+    )
+    np.testing.assert_allclose(np.asarray(total_shared), np.asarray(expected), rtol=1e-12)
