@@ -96,6 +96,118 @@ class SampleBinning:
         return jnp.where(all_valid, flat, self.n_bins).astype(ITYPE)
 
 
+@struct.dataclass
+class NonUniformBinning:
+    """Axis-aligned hyper-rectangle bins of arbitrary extents.
+
+    TPU-native equivalent of the reference's non-uniform scheme
+    (``Samples/BinningHandler.h:103-123``): analysis bins are hyper-rects; a
+    coarse uniform "MegaBin" grid maps events to candidate bins, then a
+    per-event loop tests containment. Here the mapping grid is REFINED to the
+    union of all bin edges per axis, so every refined cell lies inside exactly
+    one (or zero) analysis bin — the per-event candidate loop collapses to one
+    precomputed ``cell -> bin`` gather. Bin lookup is then a per-axis
+    ``searchsorted`` plus one ``jnp.take``, identical in cost to the uniform
+    path.
+
+    ``cell_edges``: [A, Kmax] refined edges (+inf padded); ``cell_to_bin``:
+    [prod(cells)] i32 flat map, ``n_bins`` for uncovered cells; events outside
+    the refined grid also map to ``n_bins`` (the garbage bin).
+    """
+
+    cell_edges: jnp.ndarray
+    n_cells_axis: jnp.ndarray
+    cell_strides: jnp.ndarray
+    cell_to_bin: jnp.ndarray
+    axis_vars: jnp.ndarray
+    n_bins: int = struct.field(pytree_node=False)
+    # Host-side copies of the hyper-rect extents [B, A, 2] for naming/plots
+    # (``BinningHandler::GetNonUniformBins``, ``GetBinName``).
+    extents: np.ndarray = struct.field(pytree_node=False, default=None)
+
+    @property
+    def n_axes(self) -> int:
+        return self.cell_edges.shape[0]
+
+    @classmethod
+    def build(
+        cls, bins: Sequence[Sequence[Sequence[float]]], axis_vars: Sequence[int]
+    ) -> "NonUniformBinning":
+        """``bins[b][a] = (low, high)`` — the reference's YAML ``Bins`` layout
+        (``Samples/BinningHandler.cpp:207``: bins x dims x 2). Bins must not
+        overlap; gaps are allowed (events there fall in the garbage bin)."""
+        extents = np.asarray(bins, np.float64)  # [B, A, 2]
+        if extents.ndim != 3 or extents.shape[2] != 2:
+            raise ValueError("bins must be [n_bins][n_axes][2] (low, high)")
+        n_bins, n_axes = extents.shape[:2]
+        if np.any(extents[:, :, 0] >= extents[:, :, 1]):
+            raise ValueError("every bin must have low < high on every axis")
+        edges = [np.unique(extents[:, a, :]) for a in range(n_axes)]
+        kmax = max(len(e) for e in edges)
+        padded = np.full((n_axes, kmax), np.inf, np.float64)
+        n_cells_axis = np.zeros(n_axes, np.int64)
+        for a, e in enumerate(edges):
+            padded[a, : len(e)] = e
+            n_cells_axis[a] = len(e) - 1
+        strides = np.ones(n_axes, np.int64)
+        for a in range(n_axes - 2, -1, -1):
+            strides[a] = strides[a + 1] * n_cells_axis[a + 1]
+        # Midpoint of every refined cell -> owning bin (host-side, build once).
+        centres = [0.5 * (e[:-1] + e[1:]) for e in edges]
+        mesh = np.meshgrid(*centres, indexing="ij")  # A x [cells...]
+        pts = np.stack([m.ravel() for m in mesh], axis=0)  # [A, n_cells]
+        inside = np.all(
+            (extents[:, :, 0, None] <= pts[None, :, :])
+            & (pts[None, :, :] < extents[:, :, 1, None]),
+            axis=1,
+        )  # [B, n_cells]
+        owners = inside.sum(axis=0)
+        if np.any(owners > 1):
+            bad = np.argwhere(owners > 1)[0, 0]
+            raise ValueError(f"overlapping bins cover cell {bad}")
+        cell_to_bin = np.where(owners == 1, inside.argmax(axis=0), n_bins)
+        return cls(
+            cell_edges=jnp.asarray(padded, FTYPE),
+            n_cells_axis=jnp.asarray(n_cells_axis, ITYPE),
+            cell_strides=jnp.asarray(strides, ITYPE),
+            cell_to_bin=jnp.asarray(cell_to_bin, ITYPE),
+            axis_vars=jnp.asarray(list(axis_vars), ITYPE),
+            n_bins=int(n_bins),
+            extents=extents,
+        )
+
+    def find_bins(self, kinematics: jnp.ndarray) -> jnp.ndarray:
+        """Flat analysis-bin index per event; ``n_bins`` for out-of-range or
+        uncovered (gap) events. Same interface as ``SampleBinning``."""
+        x = kinematics[self.axis_vars]  # [A, E]
+        idx = (
+            jnp.sum(
+                (self.cell_edges[:, :, None] <= x[:, None, :]).astype(ITYPE),
+                axis=1,
+                dtype=ITYPE,
+            )
+            - 1
+        )
+        valid = (idx >= 0) & (idx < self.n_cells_axis[:, None])
+        all_valid = jnp.all(valid, axis=0)
+        flat_cell = jnp.sum(
+            jnp.clip(idx, 0, self.n_cells_axis[:, None] - 1)
+            * self.cell_strides[:, None],
+            axis=0,
+        )
+        owner = jnp.take(self.cell_to_bin, flat_cell, axis=0)
+        return jnp.where(all_valid, owner, self.n_bins).astype(ITYPE)
+
+    def bin_name(self, b: int) -> str:
+        """Human-readable extents, the reference's ``GetBinName``."""
+        if b >= self.n_bins:
+            return "underflow/overflow"
+        parts = [
+            f"[{lo:g}, {hi:g})" for lo, hi in self.extents[b]
+        ]
+        return " x ".join(parts)
+
+
 def histogram(
     weights: jnp.ndarray, bins: jnp.ndarray, n_bins: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

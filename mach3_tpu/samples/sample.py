@@ -37,7 +37,7 @@ from ..core.precision import ATYPE, FTYPE, ITYPE
 from ..osc.prob import OscParams, probabilities_const_density, probabilities_layered
 from ..splines.eval import eval_dense, eval_sparse
 from ..splines.monolith import DenseSplineTable, SparseSplineTable
-from .binning import SampleBinning, histogram
+from .binning import NonUniformBinning, SampleBinning, histogram
 from .teststats import TestStatistic, get_test_stat_fn
 
 #: A functional shift: (param_value, var_values [E], kin [V, E]) -> new var values.
@@ -195,7 +195,7 @@ class SampleModel:
     kin: jnp.ndarray  # [V, E] f32 kinematic variables
     mc_weight: jnp.ndarray  # [E] f32 nominal MC weight
     norm_idx: jnp.ndarray  # [E, Wn] i32 into extended parameter vector
-    binning: SampleBinning
+    binning: SampleBinning | NonUniformBinning
     data: jnp.ndarray  # [B] f64 observed histogram
     # One-hot form of norm_idx ([E*Wn, NP+1] f32) when NP is small: gathering
     # from a tiny parameter vector lowers to a catastrophic select-expansion

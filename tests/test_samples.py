@@ -220,3 +220,74 @@ def test_shared_osc_tables_match_unshared():
         prior >= LARGE_LOGL, len(toy.samples) * LARGE_LOGL, parts_direct.sum(axis=1)
     )
     np.testing.assert_allclose(np.asarray(total_shared), np.asarray(expected), rtol=1e-12)
+
+
+def test_nonuniform_binning_matches_brute_force():
+    """Refined-grid lookup == direct hyper-rect containment (the reference's
+    MegaBin scheme, ``Samples/BinningHandler.h:103-123``)."""
+    from mach3_tpu.samples.binning import NonUniformBinning
+
+    # The doc-comment layout from BinningHandler.h: 10 bins tiling [0,4]x[0,3]
+    bins = [
+        [(0, 1), (2, 3)], [(1, 2.2), (2, 3)], [(2.2, 2.8), (2, 3)], [(2.8, 4), (2, 3)],
+        [(0, 1), (1, 2)], [(1, 2.2), (0, 2)], [(2.2, 2.8), (1, 2)],
+        [(0, 1), (0, 1)], [(2.2, 2.8), (0, 1)], [(2.8, 4), (0, 2)],
+    ]
+    nb = NonUniformBinning.build(bins, [0, 1])
+    assert nb.n_bins == 10
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-0.5, 4.5, size=500)
+    y = rng.uniform(-0.5, 3.5, size=500)
+    got = np.asarray(nb.find_bins(jnp.asarray(np.stack([x, y]))))
+
+    ext = np.asarray(bins, np.float64)
+    inside = np.all(
+        (ext[:, :, 0] <= np.stack([x, y], axis=1)[:, None, :])
+        & (np.stack([x, y], axis=1)[:, None, :] < ext[:, :, 1]),
+        axis=2,
+    )  # [E, B]
+    expected = np.where(inside.any(axis=1), inside.argmax(axis=1), nb.n_bins)
+    np.testing.assert_array_equal(got, expected)
+    # this tiling has no gaps inside [0,4]x[0,3]
+    covered = (0 <= x) & (x < 4) & (0 <= y) & (y < 3)
+    assert np.all((got < nb.n_bins) == covered)
+
+
+def test_nonuniform_binning_gaps_and_validation():
+    from mach3_tpu.samples.binning import NonUniformBinning
+
+    # One axis, two bins with a gap (1, 2)
+    nb = NonUniformBinning.build([[(0, 1)], [(2, 3)]], [0])
+    got = np.asarray(nb.find_bins(jnp.asarray([[0.5, 1.5, 2.5, 3.5]])))
+    assert list(got) == [0, 2, 1, 2]
+    assert nb.bin_name(0) == "[0, 1)"
+    assert nb.bin_name(2) == "underflow/overflow"
+
+    with pytest.raises(ValueError, match="overlap"):
+        NonUniformBinning.build([[(0, 2)], [(1, 3)]], [0])
+    with pytest.raises(ValueError, match="low < high"):
+        NonUniformBinning.build([[(1, 1)]], [0])
+
+
+def test_nonuniform_binning_in_sample_model():
+    """A SampleModel over non-uniform bins reweights + histograms end to end."""
+    from mach3_tpu.samples.binning import NonUniformBinning, histogram as _hist
+    from mach3_tpu.tutorial.toy import build_toy
+
+    toy = build_toy(n_events=800, seed=5)
+    s = toy.samples[0]
+    # Replace the uniform binning with a 2-bin non-uniform split of axis 0
+    edges = np.asarray(s.binning.edges[0])
+    n_edges = int(np.asarray(s.binning.n_bins_axis[0])) + 1
+    lo, hi = float(edges[0]), float(edges[n_edges - 1])
+    mid = 0.5 * (lo + hi)
+    nb = NonUniformBinning.build([[(lo, mid)], [(mid, hi)]], [0])
+    s2 = s.replace(binning=nb, data=jnp.zeros(2, jnp.float64), use_pallas=False)
+    theta = toy.model.prefit_vector()
+    mc, w2 = s2.reweight(theta)
+    assert mc.shape == (2,)
+    # Total MC conserved vs the uniform binning (same selection range)
+    mc_u, _ = s.replace(use_pallas=False).reweight(theta)
+    np.testing.assert_allclose(float(mc.sum()), float(mc_u.sum()), rtol=1e-5)
+    assert np.isfinite(float(s2.log_likelihood(theta)))
