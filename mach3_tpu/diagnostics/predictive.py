@@ -34,6 +34,12 @@ class PredictiveResult:
     llh_draw: np.ndarray  # [T] -logL(fluctuated | toy)
     p_value: float  # P(llh_draw > llh_data)
     p_value_per_sample: np.ndarray  # [n_samples]
+    # Per-bin Bayesian p-values (SampleSummary's bin-by-bin comparison,
+    # ``Fitters/SampleSummary.h:23-80``): P(fluctuated >= data) per bin.
+    p_value_per_bin: list[np.ndarray] | None = None  # per sample: [B]
+    # By-mode predictive spectra (SampleSummary's by-mode breakdowns):
+    # per sample [T, M+1, B] (last row = unknown/sentinel category).
+    spectra_by_mode: list[np.ndarray] | None = None
 
     def predictive_mean(self, sample: int) -> np.ndarray:
         return self.spectra[sample].mean(axis=0)
@@ -58,21 +64,49 @@ def run_predictive(
     toys_theta: np.ndarray,
     seed: int = 0,
     chunk: int = 64,
+    categories: list[np.ndarray] | None = None,
 ) -> PredictiveResult:
-    """Posterior- (or prior-) predictive analysis over toy parameter vectors."""
+    """Posterior- (or prior-) predictive analysis over toy parameter vectors.
+
+    ``categories`` optionally gives per-sample [E] int labels (e.g. analysis
+    modes from ``core.modes``); when set, per-toy spectra are also broken down
+    by category (the reference ``SampleSummary`` by-mode machinery). Labels
+    must be in [0, M]; M is treated as the unknown sentinel.
+    """
     n_toys = toys_theta.shape[0]
     key = jax.random.key(seed)
+
+    cat_arrays = None
+    if categories is not None:
+        if len(categories) != len(model.samples):
+            raise ValueError("categories must have one [E] array per sample")
+        cat_arrays = [jnp.asarray(c, jnp.int32) for c in categories]
+        n_cats = max(int(np.max(np.asarray(c))) for c in categories) + 1
 
     def one_toy(theta, k):
         spectra = []
         fluct = []
+        by_mode = []
         llh_data = jnp.zeros((), ATYPE)
         llh_draw = jnp.zeros((), ATYPE)
         per_sample_data = []
         per_sample_draw = []
         keys = jax.random.split(k, len(model.samples))
-        for s, sk in zip(model.samples, keys):
-            mc, w2 = s.reweight(theta)
+        for i, (s, sk) in enumerate(zip(model.samples, keys)):
+            if cat_arrays is not None:
+                from ..samples.binning import histogram as _hist
+
+                w, bins = s.event_weights(theta)
+                mc, w2 = _hist(w, bins, s.n_bins)
+                # category-offset flat fill: bin + cat * (B+1); garbage bin
+                # (index B) of every category is dropped by the reshape slice
+                flat = bins + cat_arrays[i] * jnp.int32(s.n_bins + 1)
+                per_cat = jax.ops.segment_sum(
+                    w, flat, num_segments=n_cats * (s.n_bins + 1)
+                ).reshape(n_cats, s.n_bins + 1)[:, : s.n_bins]
+                by_mode.append(per_cat)
+            else:
+                mc, w2 = s.reweight(theta)
             draw = jax.random.poisson(sk, jnp.maximum(mc, 0.0)).astype(ATYPE)
             stat = get_test_stat_fn(s.test_statistic)
             ld = jnp.sum(stat(s.data, mc.astype(ATYPE), w2.astype(ATYPE)))
@@ -90,21 +124,25 @@ def run_predictive(
             llh_draw,
             jnp.stack(per_sample_data),
             jnp.stack(per_sample_draw),
+            tuple(by_mode),
         )
 
     batched = jax.jit(jax.vmap(one_toy))
     all_spec = [[] for _ in model.samples]
     all_fluct = [[] for _ in model.samples]
+    all_by_mode = [[] for _ in model.samples]
     llh_data_parts, llh_draw_parts = [], []
     ps_data_parts, ps_draw_parts = [], []
     for at in range(0, n_toys, chunk):
         block = jnp.asarray(toys_theta[at : at + chunk], ATYPE)
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, block.shape[0])
-        spec, fluct, ld, lf, psd, psf = batched(block, keys)
+        spec, fluct, ld, lf, psd, psf, bym = batched(block, keys)
         for i in range(len(model.samples)):
             all_spec[i].append(np.asarray(spec[i]))
             all_fluct[i].append(np.asarray(fluct[i]))
+            if cat_arrays is not None:
+                all_by_mode[i].append(np.asarray(bym[i]))
         llh_data_parts.append(np.asarray(ld))
         llh_draw_parts.append(np.asarray(lf))
         ps_data_parts.append(np.asarray(psd))
@@ -117,11 +155,25 @@ def run_predictive(
     p_value = float(np.mean(llh_draw > llh_data))
     p_per_sample = (ps_draw > ps_data).mean(axis=0)
     _log.info("Predictive p-value: %.3f over %d toys", p_value, n_toys)
+    spectra = [np.concatenate(s) for s in all_spec]
+    fluctuated = [np.concatenate(f) for f in all_fluct]
+    # Bin-by-bin Bayesian p-value: the predictive distribution of the
+    # fluctuated bin content vs the observed count (SampleSummary per-bin
+    # comparison); 0.5-credit at equality keeps discrete counts unbiased.
+    p_per_bin = [
+        (f > np.asarray(s.data)[None, :]).mean(axis=0)
+        + 0.5 * (f == np.asarray(s.data)[None, :]).mean(axis=0)
+        for f, s in zip(fluctuated, model.samples)
+    ]
     return PredictiveResult(
-        spectra=[np.concatenate(s) for s in all_spec],
-        fluctuated=[np.concatenate(f) for f in all_fluct],
+        spectra=spectra,
+        fluctuated=fluctuated,
         llh_data=llh_data,
         llh_draw=llh_draw,
         p_value=p_value,
         p_value_per_sample=np.asarray(p_per_sample),
+        p_value_per_bin=p_per_bin,
+        spectra_by_mode=(
+            [np.concatenate(b) for b in all_by_mode] if cat_arrays is not None else None
+        ),
     )

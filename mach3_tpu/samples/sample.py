@@ -273,10 +273,12 @@ class SampleModel:
         return kin
 
     # ---------------------------------------------------------- reweight
-    def reweight(
+    def event_weights(
         self, params: jnp.ndarray, osc_grids: tuple | None = None
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Full event reweight + histogram fill: params [NP] -> (mc [B], w2 [B])."""
+        """Per-event (weight [E], bin [E]) before the histogram fill — the
+        reference's per-event state inside ``FillArray_MP``, exposed for
+        projections and by-mode predictive breakdowns."""
         w = (
             self.mc_weight
             * self._norm_weights(params)
@@ -285,6 +287,13 @@ class SampleModel:
         )
         kin = self._shifted_kinematics(params)
         bins = self.binning.find_bins(kin)
+        return w, bins
+
+    def reweight(
+        self, params: jnp.ndarray, osc_grids: tuple | None = None
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Full event reweight + histogram fill: params [NP] -> (mc [B], w2 [B])."""
+        w, bins = self.event_weights(params, osc_grids)
         return histogram(w, bins, self.n_bins)
 
     def log_likelihood(

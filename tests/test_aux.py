@@ -253,3 +253,51 @@ def test_predictive_pvalue_calibrated():
     res_bad = run_predictive(model_bad, toys, seed=1)
     assert res_bad.p_value < res.p_value
     assert res_bad.p_value < 0.1
+
+
+def test_predictive_by_mode_and_per_bin():
+    """By-mode spectra sum to the total spectrum; per-bin p-values calibrated
+    (~0.5 on Asimov data) — SampleSummary's breakdowns
+    (``Fitters/SampleSummary.h:23-80``)."""
+    from mach3_tpu.diagnostics.predictive import run_predictive
+    from mach3_tpu.fitters import FitModel
+    from mach3_tpu.samples.events import EventData, build_sample_model
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    modes = rng.integers(0, 3, size=n).astype(np.int32)
+    ev = EventData(
+        kinematics={"x": rng.normal(1.0, 0.4, n)},
+        mode=modes,
+        target=np.full(n, 12, np.int32),
+        pdg=np.full(n, 14, np.int32),
+        preosc_pdg=np.full(n, 14, np.int32),
+        mc_weight=np.full(n, 0.1),
+    )
+    ps = _simple_ps()
+    sm = build_sample_model(
+        "s",
+        ev,
+        var_order=["x"],
+        binning_edges=[np.linspace(0, 2, 11)],
+        binning_vars=["x"],
+        n_total_params=2,
+        norm_idx=np.zeros((n, 1), np.int64),
+    )
+    import jax.numpy as jnp
+
+    theta0 = jnp.asarray([1.0, 1.0])
+    sm = sm.with_data(sm.asimov_data(theta0))
+    model = FitModel.build([ps], [sm])
+
+    toys = np.tile(np.array([1.0, 1.0]), (100, 1)) + 0.02 * rng.normal(size=(100, 2))
+    res = run_predictive(model, toys, seed=2, categories=[modes])
+    assert res.spectra_by_mode is not None
+    bym = res.spectra_by_mode[0]  # [T, M, B]
+    assert bym.shape[1] == 3
+    np.testing.assert_allclose(bym.sum(axis=1), res.spectra[0], rtol=1e-5)
+    # per-bin p-values near 0.5 on Asimov (binomial spread over 100 toys)
+    assert res.p_value_per_bin is not None
+    pb = res.p_value_per_bin[0]
+    assert pb.shape == (10,)
+    assert np.all(pb > 0.15) and np.all(pb < 0.85)
