@@ -33,3 +33,40 @@ def get_logger(name: str = "mach3") -> logging.Logger:
     if name != "mach3" and not name.startswith("mach3."):
         name = f"mach3.{name}"
     return logging.getLogger(name)
+
+
+class capture_stdout:
+    """Route third-party ``print`` output through the logger — the reference's
+    ``LoggerPrint`` wrapper (``Manager/MaCh3Logger.h``: captures library stdout
+    into spdlog so every line carries the framework's formatting/level).
+
+    >>> with capture_stdout("thirdparty"):
+    ...     noisy_library_call()
+    """
+
+    def __init__(self, name: str = "capture", level: int = logging.INFO):
+        self._logger = get_logger(name)
+        self._level = level
+        self._buffer = ""
+
+    def write(self, text: str) -> int:
+        self._buffer += text
+        while "\n" in self._buffer:
+            line, self._buffer = self._buffer.split("\n", 1)
+            if line.strip():
+                self._logger.log(self._level, "%s", line)
+        return len(text)
+
+    def flush(self) -> None:
+        if self._buffer.strip():
+            self._logger.log(self._level, "%s", self._buffer)
+        self._buffer = ""
+
+    def __enter__(self) -> "capture_stdout":
+        self._saved = sys.stdout
+        sys.stdout = self
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.flush()
+        sys.stdout = self._saved

@@ -301,3 +301,28 @@ def test_predictive_by_mode_and_per_bin():
     pb = res.p_value_per_bin[0]
     assert pb.shape == (10,)
     assert np.all(pb > 0.15) and np.all(pb < 0.85)
+
+
+def test_capture_stdout_logger():
+    """``LoggerPrint`` equivalent: third-party prints land in the logger."""
+    import logging as _logging
+
+    from mach3_tpu.core.logging import capture_stdout, get_logger
+
+    records = []
+
+    class Sink(_logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logger = get_logger("capture-test")
+    sink = Sink()
+    logger.addHandler(sink)
+    try:
+        with capture_stdout("capture-test"):
+            print("hello from a noisy library")
+            print("partial", end="")
+    finally:
+        logger.removeHandler(sink)
+    assert "hello from a noisy library" in records
+    assert "partial" in records
