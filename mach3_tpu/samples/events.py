@@ -212,6 +212,7 @@ def build_sample_model(
     n_total_params: int,
     norm_idx: np.ndarray | None = None,
     spline_table=None,
+    tf1_table=None,
     osc: OscConfig | None = None,
     shifts: Sequence[ShiftSpec] = (),
     data: np.ndarray | None = None,
@@ -253,6 +254,7 @@ def build_sample_model(
         binning=binning,
         data=jnp.asarray(data, ATYPE),
         spline_table=spline_table,
+        tf1_table=tf1_table,
         osc=osc,
         shifts=tuple(shifts),
         test_statistic=test_statistic,

@@ -37,6 +37,7 @@ from ..core.precision import ATYPE, FTYPE, ITYPE
 from ..osc.prob import OscParams, probabilities_const_density, probabilities_layered
 from ..splines.eval import eval_dense, eval_sparse
 from ..splines.monolith import DenseSplineTable, SparseSplineTable
+from ..splines.tf1 import TF1Table
 from .binning import NonUniformBinning, SampleBinning, histogram
 from .teststats import TestStatistic, get_test_stat_fn
 
@@ -203,6 +204,9 @@ class SampleModel:
     # product with the indices baked in. None -> use the gather.
     norm_onehot: jnp.ndarray | None = None
     spline_table: DenseSplineTable | SparseSplineTable | None = None
+    # Linear functional responses (the reference's TF1_red splines evaluated
+    # by EvalOnGPU_TF1); multiplied into the same per-event weight product.
+    tf1_table: TF1Table | None = None
     osc: OscConfig | None = None
     shifts: tuple[ShiftSpec, ...] = struct.field(pytree_node=False, default=())
     test_statistic: TestStatistic = struct.field(
@@ -285,6 +289,8 @@ class SampleModel:
             * self._spline_weights(params)
             * self._osc_weights(params, osc_grids)
         )
+        if self.tf1_table is not None:
+            w = w * self.tf1_table.eval(params)
         kin = self._shifted_kinematics(params)
         bins = self.binning.find_bins(kin)
         return w, bins
@@ -323,12 +329,13 @@ class SampleModel:
             return jax.vmap(self.reweight, in_axes=in_axes)(thetas, *oc)
         from ..splines.pallas_reweight import fused_reweight_histogram, spline_selector
 
-        base_w = jax.vmap(
-            lambda t, c: self.mc_weight
-            * self._norm_weights(t)
-            * self._osc_weights(t, c),
-            in_axes=in_axes,
-        )(thetas, *oc)
+        def _base(t, c):
+            w = self.mc_weight * self._norm_weights(t) * self._osc_weights(t, c)
+            if self.tf1_table is not None:
+                w = w * self.tf1_table.eval(t)
+            return w
+
+        base_w = jax.vmap(_base, in_axes=in_axes)(thetas, *oc)
         bins = jax.vmap(
             lambda t: self.binning.find_bins(self._shifted_kinematics(t))
         )(thetas)

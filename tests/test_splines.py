@@ -234,3 +234,51 @@ def test_table_save_load_roundtrip(tmp_path):
     _np.savez(str(tmp_path / "bad.npz"), **bad)
     with pytest.raises(ValueError):
         load_table(str(tmp_path / "bad.npz"))
+
+
+def test_tf1_table_eval():
+    """Linear functional responses (``SplineStructs.h:192-193``:
+    w = Par[1] + Par[0]*v), unit for unmatched events, floored at 0."""
+    from mach3_tpu.splines.tf1 import TF1ParamSpec, build_tf1_table
+
+    specs = [
+        TF1ParamSpec("f0", param_index=2, event_ids=np.array([0, 2]),
+                     slope=np.array([0.5, -2.0]), intercept=np.array([1.0, 1.0])),
+        TF1ParamSpec("f1", param_index=5, event_ids=np.array([2]),
+                     slope=np.array([1.0]), intercept=np.array([0.0])),
+    ]
+    table = build_tf1_table(specs, n_events=4)
+    params = jnp.zeros(8).at[2].set(0.4).at[5].set(3.0)
+    w = np.asarray(table.eval(params))
+    # event 0: 1 + 0.5*0.4 = 1.2; event 1: unmatched -> 1
+    # event 2: (1 - 2*0.4) * (0 + 1*3.0) = 0.2*3 = 0.6; event 3: 1
+    np.testing.assert_allclose(w, [1.2, 1.0, 0.6, 1.0], rtol=1e-6)
+    # floor at zero: v = 1 makes event 2's first response negative -> 0
+    w2 = np.asarray(table.eval(jnp.zeros(8).at[2].set(1.0).at[5].set(3.0)))
+    assert w2[2] == 0.0
+
+
+def test_tf1_in_sample_model_batched():
+    """TF1 weights flow through reweight and the batched (pallas-path
+    selectable) reweight identically."""
+    from mach3_tpu.splines.tf1 import TF1ParamSpec, build_tf1_table
+    from mach3_tpu.tutorial.toy import build_toy
+
+    toy = build_toy(n_events=600, seed=8)
+    s = toy.samples[0].replace(use_pallas=False)
+    n_ev = s.n_events
+    rng = np.random.default_rng(1)
+    spec = TF1ParamSpec(
+        "ftest", param_index=0,
+        event_ids=rng.choice(n_ev, size=n_ev // 3, replace=False),
+        slope=np.full(n_ev // 3, 0.3), intercept=np.full(n_ev // 3, 1.0),
+    )
+    s_tf1 = s.replace(tf1_table=build_tf1_table([spec], n_ev))
+    theta = toy.model.prefit_vector()
+    mc0, _ = s.reweight(theta)
+    mc1, _ = s_tf1.reweight(theta)
+    # prefit value of param 0 is 1.0 -> matched events scaled by 1.3
+    assert float(mc1.sum()) > float(mc0.sum())
+    thetas = jnp.tile(theta[None, :], (3, 1))
+    mcb, w2b = s_tf1.reweight_batch(thetas)
+    np.testing.assert_allclose(np.asarray(mcb[0]), np.asarray(mc1), rtol=1e-5)
