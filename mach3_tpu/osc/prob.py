@@ -72,13 +72,17 @@ def probabilities_const_density(
     ye: float = 0.5,
     antineutrino: bool = False,
     dtype=ATYPE,
+    phase_dtype=ATYPE,
 ) -> jnp.ndarray:
     """P[..., alpha, beta] over an energy batch for one baseline and constant
-    density (the beam case; NuFastLinear equivalent). rho=0 gives vacuum."""
+    density (the beam case; NuFastLinear equivalent). rho=0 gives vacuum.
+
+    phase_dtype: dtype of the eigenvalue/phase scalars. f64 (default) is always
+    safe; f32 is exact to ~1e-7 rad at beam baselines (λL ~ a few rad) and
+    avoids TPU f64-emulation cost — do NOT use f32 for atmospheric-scale
+    λL ~ 1e3 rad, where f32 phases visibly err."""
     # Build the Hamiltonian in full precision; the 3x3 matrix work runs in
-    # ``dtype`` while eigenvalues + phases always use f64 — large-baseline /
-    # low-E corners reach λL ~ 1e3 rad where f32 phases visibly err, and the
-    # per-grid-point scalar cost is small even under TPU f64 emulation.
+    # ``dtype`` while eigenvalues + phases use ``phase_dtype``.
     ur, ui = pmns_matrix_real(
         params.theta12, params.theta13, params.theta23, params.delta_cp, dtype=ATYPE
     )
@@ -96,7 +100,7 @@ def probabilities_const_density(
         hr64.astype(dtype),
         hi64.astype(dtype),
         jnp.asarray(length, dtype),
-        phase_dtype=ATYPE,
+        phase_dtype=phase_dtype,
         h_phase=(hr64, hi64),
     )
     # amp[..., beta, alpha] = <beta| U |alpha>  ->  P[..., alpha, beta]

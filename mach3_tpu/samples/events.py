@@ -107,6 +107,7 @@ def build_osc_config(
     electron_fraction: float = 0.5,
     nc_modes: Sequence[int] = (),
     e_true_var: str = "e_true",
+    phase_dtype=None,
 ) -> OscConfig:
     """Wire per-event oscillation-channel and energy-grid gather indices.
 
@@ -144,6 +145,7 @@ def build_osc_config(
         density=float(density),
         electron_fraction=float(electron_fraction),
         osc_param_idx=jnp.asarray(list(osc_param_gidx), ITYPE),
+        **({"phase_dtype": phase_dtype} if phase_dtype is not None else {}),
     )
 
 
@@ -245,6 +247,12 @@ def build_sample_model(
     if data is None:
         data = np.zeros(binning.n_bins)
 
+    # Without functional shifts the event->bin map never changes during the
+    # fit: precompute it (enables the shared-bins fused-kernel fast path).
+    static_bins = None
+    if not shifts:
+        static_bins = binning.find_bins(jnp.asarray(kin, FTYPE))
+
     return SampleModel(
         name=name,
         kin=jnp.asarray(kin, FTYPE),
@@ -259,4 +267,5 @@ def build_sample_model(
         shifts=tuple(shifts),
         test_statistic=test_statistic,
         use_pallas=use_pallas,
+        static_bins=static_bins,
     )

@@ -79,6 +79,9 @@ class OscConfig:
     # TPU (measured 16x slower) and the f32 probability error (<1e-5) is far
     # below MC statistics. Set to jnp.float64 for exact-parity studies.
     dtype: jnp.dtype = struct.field(pytree_node=False, default=jnp.float32)
+    # Eigenvalue/phase dtype. Beam-scale λL (a few rad) is exact to ~1e-7 rad
+    # in f32; f64 (default) stays safe for any baseline.
+    phase_dtype: jnp.dtype = struct.field(pytree_node=False, default=jnp.float64)
 
     def prob_grids(self, params: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Raw (nu, antinu) probability grids [NE, 3, 3] — the expensive part,
@@ -89,10 +92,12 @@ class OscConfig:
         p_nu = probabilities_const_density(
             osc_pars, self.e_grid, length=self.baseline, rho=self.density,
             ye=self.electron_fraction, antineutrino=False, dtype=self.dtype,
+            phase_dtype=self.phase_dtype,
         )
         p_bar = probabilities_const_density(
             osc_pars, self.e_grid, length=self.baseline, rho=self.density,
             ye=self.electron_fraction, antineutrino=True, dtype=self.dtype,
+            phase_dtype=self.phase_dtype,
         )
         return p_nu, p_bar
 
@@ -118,6 +123,7 @@ class OscConfig:
             float(self.density),
             float(self.electron_fraction),
             str(self.dtype),
+            str(self.phase_dtype),
         )
 
 
@@ -215,6 +221,10 @@ class SampleModel:
     # Route chain-batched reweights through the fused Pallas kernel
     # (splines/pallas_reweight.py). TPU-only; requires a dense spline table.
     use_pallas: bool = struct.field(pytree_node=False, default=False)
+    # Precomputed event->bin map [E] when no functional shifts exist: bins are
+    # then proposal-independent, find_bins vanishes from the step, and the
+    # fused kernel takes the shared-bins (single-matmul histogram) fast path.
+    static_bins: jnp.ndarray | None = None
 
     @property
     def n_events(self) -> int:
@@ -291,6 +301,8 @@ class SampleModel:
         )
         if self.tf1_table is not None:
             w = w * self.tf1_table.eval(params)
+        if self.static_bins is not None:
+            return w, self.static_bins
         kin = self._shifted_kinematics(params)
         bins = self.binning.find_bins(kin)
         return w, bins
@@ -327,7 +339,11 @@ class SampleModel:
         in_axes = (0, None if osc_grids_batch is None else 0)
         if not (self.use_pallas and isinstance(self.spline_table, DenseSplineTable)):
             return jax.vmap(self.reweight, in_axes=in_axes)(thetas, *oc)
-        from ..splines.pallas_reweight import fused_reweight_histogram, spline_selector
+        from ..splines.pallas_reweight import (
+            fused_reweight_histogram,
+            fused_reweight_histogram_shared,
+            spline_selector,
+        )
 
         def _base(t, c):
             w = self.mc_weight * self._norm_weights(t) * self._osc_weights(t, c)
@@ -336,14 +352,18 @@ class SampleModel:
             return w
 
         base_w = jax.vmap(_base, in_axes=in_axes)(thetas, *oc)
-        bins = jax.vmap(
-            lambda t: self.binning.find_bins(self._shifted_kinematics(t))
-        )(thetas)
         selector = spline_selector(self.spline_table, thetas)
         table = self.spline_table
         coeffs = table.coeffs.reshape(
             table.coeffs.shape[0], -1, table.coeffs.shape[3]
         )
+        if self.static_bins is not None:
+            return fused_reweight_histogram_shared(
+                selector, coeffs, base_w, self.static_bins, n_bins=self.n_bins
+            )
+        bins = jax.vmap(
+            lambda t: self.binning.find_bins(self._shifted_kinematics(t))
+        )(thetas)
         return fused_reweight_histogram(
             selector, coeffs, base_w, bins, n_bins=self.n_bins
         )
@@ -371,6 +391,18 @@ class SampleModel:
 
     def with_data(self, data) -> "SampleModel":
         return self.replace(data=jnp.asarray(data, ATYPE))
+
+    def with_binning(self, binning) -> "SampleModel":
+        """Swap the binning, recomputing the static event->bin map (use this
+        instead of ``replace(binning=...)`` which would keep a stale map)."""
+        static_bins = None
+        if not self.shifts:
+            static_bins = binning.find_bins(self.kin)
+        return self.replace(
+            binning=binning,
+            static_bins=static_bins,
+            data=jnp.zeros((binning.n_bins,), ATYPE),
+        )
 
     def asimov_data(self, params: jnp.ndarray) -> jnp.ndarray:
         """MC prediction at the given parameters, for Asimov fits (the

@@ -58,12 +58,19 @@ def _kernel(
     # Histogram via RADIX-FACTORISED one-hots. A direct one-hot contraction
     # costs O(B) compares per event plus an MXU-hostile M=1 dot per chain.
     # Splitting the bin id into digits b = hi*R + lo gives, per chain, two
-    # small one-hots (Bhi + R compares per event) and ONE well-shaped matmul
-    #   [2*Bhi, ET] @ [ET, R]  ->  (Σw, Σw²) for all (hi, lo) bins at once,
-    # with rows 0..Bhi-1 carrying w·1[hi] and rows Bhi.. carrying w²·1[hi].
-    # Out-of-range/padded events use bin id n_bins, which lands in the
-    # sliced-off tail of the (Bhi*R >= n_bins+1) flat output. Mosaic
-    # constraints respected: plain 2-D dots, i32 everywhere.
+    # small one-hots (Bhi + R compares per event); the per-chain matmuls
+    #   [2*Bhi, ET] @ [ET, R]
+    # would each run the MXU at <1% utilisation (M=2*Bhi, N=R both pad to
+    # 128), so all chains are BATCHED into one block-diagonal contraction
+    #   Z [CT*2*Bhi, ET] @ OH [ET, CT*R]
+    # whose diagonal [2*Bhi, R] blocks are the per-chain results (off-diagonal
+    # blocks are computed and discarded — CT x more MACs, but ~CT x fewer MXU
+    # passes, measured ~4x faster end to end). Rows 0..Bhi-1 of each chain
+    # block carry w·1[hi], rows Bhi.. carry w²·1[hi]. Out-of-range/padded
+    # events use bin id n_bins, which lands in the sliced-off tail of the
+    # (Bhi*R >= n_bins+1) flat output. Mosaic constraints respected: plain 2-D
+    # dots, i32 everywhere, digit split via shift/mask (integer div/mod lower
+    # through float conversion chains Mosaic cannot legalize).
     bins = bins_ref[:]
     chain_tile = bins.shape[0]
     et = bins.shape[1]
@@ -71,23 +78,36 @@ def _kernel(
     n_hi = (n_bins + radix) // radix  # ceil((n_bins+1)/radix): garbage fits
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (et, radix), 1)
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (n_hi, et), 0)
+    z_rows = []
+    oh_cols = []
     for c in range(chain_tile):
-        # Digit split via shift/mask: integer div/mod lower through float
-        # conversion chains Mosaic cannot legalize.
         hi = jax.lax.shift_right_logical(bins[c], jnp.int32(radix_bits))
         lo = jnp.bitwise_and(bins[c], jnp.int32(radix - 1))
-        oh_lo = (lo[:, None] == iota_lo).astype(jnp.float32)  # [ET, R]
+        oh_cols.append((lo[:, None] == iota_lo).astype(jnp.float32))  # [ET, R]
         oh_hi = (hi[None, :] == iota_hi).astype(jnp.float32)  # [Bhi, ET]
         wc = w[c]  # [ET]
         zw = oh_hi * wc[None, :]  # [Bhi, ET] w masked by hi digit
-        z = jnp.concatenate([zw, zw * wc[None, :]], axis=0)  # [2*Bhi, ET]
-        res = jax.lax.dot_general(
-            z, oh_lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        z_rows.append(jnp.concatenate([zw, zw * wc[None, :]], axis=0))
+    z = jnp.concatenate(z_rows, axis=0)  # [CT*2*Bhi, ET]
+    oh = jnp.concatenate(oh_cols, axis=1)  # [ET, CT*R]
+    res = jax.lax.dot_general(
+        z, oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [CT*2*Bhi, CT*R]
+    # Diagonal-block extraction. Row slices are sublane-aligned; column slices
+    # at offset c*R are NOT lane-aligned, so columns are selected with a tiny
+    # static one-hot dot instead (res_c [2*Bhi, CT*R] @ sel_c [CT*R, R]).
+    iota_row = jax.lax.broadcasted_iota(jnp.int32, (chain_tile * radix, radix), 0)
+    iota_col = jax.lax.broadcasted_iota(jnp.int32, (chain_tile * radix, radix), 1)
+    for c in range(chain_tile):
+        res_c = res[c * 2 * n_hi : (c + 1) * 2 * n_hi, :]
+        sel_c = (iota_row == iota_col + jnp.int32(c * radix)).astype(jnp.float32)
+        blk = jax.lax.dot_general(
+            res_c, sel_c, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [2*Bhi, R]
         # Outputs are [CT, Bhi, R]; the (hi, lo) -> flat-bin reshape happens
         # in XLA outside (Mosaic cannot reshape across the sublane/lane split).
-        mc_ref[c] += res[:n_hi]
-        w2_ref[c] += res[n_hi:]
+        mc_ref[c] += blk[:n_hi]
+        w2_ref[c] += blk[n_hi:]
 
 
 @functools.partial(
@@ -175,6 +195,129 @@ def fused_reweight_histogram(
     mc = mc.reshape(cp, n_hi * radix)[:c, :n_bins]
     w2 = w2.reshape(cp, n_hi * radix)[:c, :n_bins]
     return mc, w2
+
+
+def _kernel_shared(
+    selector_ref, base_ref, bins_ref, coeffs_ref, mc_ref, w2_ref,
+    *, n_params, n_bins_padded,
+):
+    """Shared-bins variant: bins are chain-INVARIANT (no per-step kinematic
+    shifts), so the histogram is ONE MXU matmul per tile —
+    ``[2*CT, ET] @ onehot[ET, BP]`` — instead of the radix per-chain loop.
+    The one-hot is built once per event tile from the [1, ET] bin ids."""
+    ee = pl.program_id(1)
+
+    @pl.when(ee == 0)
+    def _():
+        mc_ref[:] = jnp.zeros_like(mc_ref)
+        w2_ref[:] = jnp.zeros_like(w2_ref)
+
+    w = base_ref[:]
+    for p in range(n_params):
+        resp = jax.lax.dot_general(
+            selector_ref[:, p, :],
+            coeffs_ref[p],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        w = w * resp
+
+    bins = bins_ref[0]  # [ET] i32
+    et = bins.shape[0]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (et, n_bins_padded), 1)
+    onehot = (bins[:, None] == iota_b).astype(jnp.float32)  # [ET, BP]
+    z = jnp.concatenate([w, w * w], axis=0)  # [2*CT, ET]
+    res = jax.lax.dot_general(
+        z, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [2*CT, BP]
+    ct = w.shape[0]
+    mc_ref[:] += res[:ct]
+    w2_ref[:] += res[ct:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_bins", "chain_tile", "event_tile")
+)
+def fused_reweight_histogram_shared(
+    selector: jnp.ndarray,  # [C, P, K4] f32
+    coeffs: jnp.ndarray,  # [P, K4, E] f32
+    base_w: jnp.ndarray,  # [C, E] f32
+    bins: jnp.ndarray,  # [E] i32 shared across chains (n_bins = out of range)
+    n_bins: int,
+    chain_tile: int = 64,
+    event_tile: int = 4096,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (mc [C, B], w2 [C, B]) in f32. Use when bins do not depend on
+    the proposal (no functional kinematic shifts) — the common case.
+
+    chain_tile=64 makes the histogram dot [2*CT, ET] @ [ET, BP] M-full
+    (measured 1.4 ms vs 2.7 ms at CT=8 for 256 chains x 57k events)."""
+    c, p, k4 = selector.shape
+    e = coeffs.shape[2]
+    # Lane-pad the bin axis; the garbage bin (n_bins) lands inside the padded
+    # region's first slot and is sliced off with the rest of the padding.
+    n_bins_padded = -(-(n_bins + 1) // 128) * 128
+    cpad = -c % chain_tile
+    epad = -e % event_tile
+    if cpad:
+        selector = jnp.pad(selector, ((0, cpad), (0, 0), (0, 0)))
+        base_w = jnp.pad(base_w, ((0, cpad), (0, 0)))
+    if epad:
+        coeffs = jnp.pad(coeffs, ((0, 0), (0, 0), (0, epad)))
+        base_w = jnp.pad(base_w, ((0, 0), (0, epad)))
+        bins = jnp.pad(bins, ((0, epad),), constant_values=n_bins)
+    cp, ep = c + cpad, e + epad
+    bins2d = bins[None, :].astype(jnp.int32)
+
+    grid = (cp // chain_tile, ep // event_tile)
+    kernel = functools.partial(
+        _kernel_shared, n_params=p, n_bins_padded=n_bins_padded
+    )
+    i32 = jnp.int32
+    in_specs = [
+        pl.BlockSpec(
+            (chain_tile, p, k4),
+            lambda ce, ee: (ce, i32(0), i32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (chain_tile, event_tile),
+            lambda ce, ee: (ce, ee),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, event_tile),
+            lambda ce, ee: (i32(0), ee),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (p, k4, event_tile),
+            lambda ce, ee: (i32(0), i32(0), ee),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    mc, w2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(
+                (chain_tile, n_bins_padded),
+                lambda ce, ee: (ce, i32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (chain_tile, n_bins_padded),
+                lambda ce, ee: (ce, i32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((cp, n_bins_padded), jnp.float32),
+            jax.ShapeDtypeStruct((cp, n_bins_padded), jnp.float32),
+        ),
+    )(selector, base_w, bins2d, coeffs)
+    return mc[:c, :n_bins], w2[:c, :n_bins]
 
 
 def spline_selector(table, params_batch: jnp.ndarray) -> jnp.ndarray:

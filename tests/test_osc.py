@@ -200,3 +200,24 @@ def test_from_array_sin2_parameterisation():
     p = OscParams.from_array(arr)
     assert float(jnp.sin(p.theta12) ** 2) == pytest.approx(0.307)
     assert float(jnp.sin(p.theta13) ** 2) == pytest.approx(0.0220)
+
+
+def test_f32_phases_match_f64_at_beam_baseline():
+    """f32 eigenvalue/phase path vs f64: beam-scale λL errs < 1e-5 in
+    probability — far below MC statistics (used by the toy/bench)."""
+    from mach3_tpu.osc.prob import OscParams, probabilities_const_density
+
+    p = OscParams.from_array(
+        jnp.asarray([0.307, 0.022, 0.561, -1.601, 7.42e-5, 2.51e-3])
+    )
+    e = jnp.asarray(np.geomspace(0.1, 10.0, 300))
+    for anti in (False, True):
+        p64 = probabilities_const_density(
+            p, e, length=295.0, rho=2.6, antineutrino=anti,
+            dtype=jnp.float64, phase_dtype=jnp.float64,
+        )
+        p32 = probabilities_const_density(
+            p, e, length=295.0, rho=2.6, antineutrino=anti,
+            dtype=jnp.float32, phase_dtype=jnp.float32,
+        )
+        assert float(jnp.max(jnp.abs(p64 - p32.astype(jnp.float64)))) < 1e-5

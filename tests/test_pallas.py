@@ -102,3 +102,64 @@ def test_out_of_range_bins_dropped(interp):
     )
     assert np.all(np.asarray(mc) == 0)
     assert np.all(np.asarray(w2) == 0)
+
+
+def test_fused_shared_bins_matches_xla(interp):
+    """Shared-bins kernel (chain-invariant bins, single-matmul histogram)
+    equals the per-chain radix kernel and the XLA path."""
+    table, base_w, _, params, n_bins = _setup()
+    rng = np.random.default_rng(42)
+    bins1d = jnp.asarray(rng.integers(0, n_bins + 1, base_w.shape[1]), jnp.int32)
+
+    mc_k, w2_k = pr.fused_reweight_histogram_shared(
+        pr.spline_selector(table, params),
+        table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3]),
+        base_w,
+        bins1d,
+        n_bins=n_bins,
+        chain_tile=4,
+        event_tile=128,
+    )
+    # XLA reference
+    resp = jax.vmap(lambda p: eval_dense(table, p))(params)
+    w = base_w * resp
+    bins_b = jnp.tile(bins1d[None, :], (base_w.shape[0], 1))
+    mc_r = jax.vmap(lambda wi, bi: histogram(wi, bi, n_bins)[0])(w, bins_b)
+    w2_r = jax.vmap(lambda wi, bi: histogram(wi, bi, n_bins)[1])(w, bins_b)
+    np.testing.assert_allclose(np.asarray(mc_k), np.asarray(mc_r), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w2_k), np.asarray(w2_r), rtol=2e-5, atol=1e-5)
+    pr.fused_reweight_histogram_shared.clear_cache()
+
+
+def test_static_bins_paths_agree():
+    """A shift-free sample gets a precomputed static_bins map from
+    build_sample_model and reweights identically to the dynamic path; the
+    toy (which has an e-scale shift) must NOT get one."""
+    from mach3_tpu.samples.events import EventData, build_sample_model
+    from mach3_tpu.tutorial.toy import build_toy
+
+    toy = build_toy(n_events=400, seed=6)
+    assert toy.samples[0].static_bins is None  # e-scale shift -> dynamic bins
+
+    rng = np.random.default_rng(4)
+    n = 500
+    ev = EventData(
+        kinematics={"x": rng.normal(1.0, 0.4, n)},
+        mode=np.zeros(n, np.int32),
+        target=np.full(n, 12, np.int32),
+        pdg=np.full(n, 14, np.int32),
+        preosc_pdg=np.full(n, 14, np.int32),
+        mc_weight=np.full(n, 0.5),
+    )
+    s = build_sample_model(
+        "s", ev, var_order=["x"], binning_edges=[np.linspace(0, 2, 9)],
+        binning_vars=["x"], n_total_params=3,
+        norm_idx=np.zeros((n, 1), np.int64),
+    )
+    assert s.static_bins is not None
+    theta = jnp.asarray([1.1, 0.9, 1.0])
+    mc_s, w2_s = s.reweight(theta)
+    s_dyn = s.replace(static_bins=None)
+    mc_d, w2_d = s_dyn.reweight(theta)
+    np.testing.assert_allclose(np.asarray(mc_s), np.asarray(mc_d), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(w2_s), np.asarray(w2_d), rtol=1e-6)

@@ -283,7 +283,7 @@ def test_nonuniform_binning_in_sample_model():
     lo, hi = float(edges[0]), float(edges[n_edges - 1])
     mid = 0.5 * (lo + hi)
     nb = NonUniformBinning.build([[(lo, mid)], [(mid, hi)]], [0])
-    s2 = s.replace(binning=nb, data=jnp.zeros(2, jnp.float64), use_pallas=False)
+    s2 = s.with_binning(nb).replace(use_pallas=False)
     theta = toy.model.prefit_vector()
     mc, w2 = s2.reweight(theta)
     assert mc.shape == (2,)
