@@ -21,7 +21,12 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("configs", nargs="*", help="YAML config files and Key:Sub:Value overrides")
     parser.add_argument("--output", "-o", default="chain.npz")
     parser.add_argument("--checkpoint", default=None, help="Resume from this checkpoint file")
-    parser.add_argument("--experiment", default="toy", help="Experiment to fit (toy)")
+    parser.add_argument(
+        "--experiment",
+        default="toy",
+        help="Experiment to fit: 'toy' (built-in), or any config passed in "
+        "`configs` containing an Experiment: tree (config-driven experiments)",
+    )
     parser.add_argument(
         "--profile",
         default=None,
@@ -42,14 +47,26 @@ def main(argv: list[str] | None = None) -> int:
     log = get_logger("cli.mcmc")
     cfg = manager_from_args(args.configs)
 
-    if args.experiment != "toy":
-        log.error("Unknown experiment '%s' (only 'toy' is built-in)", args.experiment)
+    if cfg.has("Experiment"):
+        from ..samples.experiment import build_experiment
+
+        exp = build_experiment(cfg)
+        model, param_sets = exp.model, exp.param_sets
+        names = [n for ps in param_sets for n in ps.names]
+    elif args.experiment == "toy":
+        toy = build_toy(
+            n_events=int(cfg.get("Toy.NEvents", 20000)),
+            seed=int(cfg.get("Toy.Seed", 1234)),
+        )
+        model, param_sets, names = toy.model, [toy.xsec, toy.osc], toy.names
+    else:
+        log.error(
+            "Unknown experiment '%s' ('toy' is built-in; config-driven "
+            "experiments need an Experiment: tree in the YAML)",
+            args.experiment,
+        )
         return 2
-    toy = build_toy(
-        n_events=int(cfg.get("Toy.NEvents", 20000)),
-        seed=int(cfg.get("Toy.Seed", 1234)),
-    )
-    fitter = make_fitter(cfg, toy.model, seed=args.seed)
+    fitter = make_fitter(cfg, model, seed=args.seed)
     if args.checkpoint:
         load_checkpoint(args.checkpoint, fitter)
 
@@ -77,16 +94,16 @@ def main(argv: list[str] | None = None) -> int:
         log.info("profiler trace written to %s", args.profile)
 
     out = fitter.run(n_steps=n_steps, callback=progress)
-    prefit = np.concatenate([np.asarray(ps.prefit) for ps in (toy.xsec, toy.osc)])
-    prefit_err = np.concatenate([np.asarray(ps.errors) for ps in (toy.xsec, toy.osc)])
+    prefit = np.concatenate([np.asarray(ps.prefit) for ps in param_sets])
+    prefit_err = np.concatenate([np.asarray(ps.errors) for ps in param_sets])
     save_chain(
         args.output,
         out,
-        toy.names,
+        names,
         config_yaml=cfg.to_yaml(),
         extra_meta={"prefit": prefit.tolist(), "prefit_err": prefit_err.tolist()},
     )
-    save_checkpoint(args.output + ".ckpt", fitter, toy.names, cfg.to_yaml())
+    save_checkpoint(args.output + ".ckpt", fitter, names, cfg.to_yaml())
     log.info("Wrote %s (+.ckpt)", args.output)
     return 0
 

@@ -104,6 +104,26 @@ def test_out_of_range_bins_dropped(interp):
     assert np.all(np.asarray(w2) == 0)
 
 
+def test_fused_maskreduce_and_blockdiag_agree(interp):
+    """Both per-chain-bins histogram algorithms equal the XLA path."""
+    table, base_w, bins, params, n_bins = _setup()
+    coeffs = table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3])
+    sel = pr.spline_selector(table, params)
+    resp = jax.vmap(lambda p: eval_dense(table, p))(params)
+    w = base_w * resp
+    mc_r = jax.vmap(lambda wi, bi: histogram(wi, bi, n_bins)[0])(w, bins)
+    for hist in ("maskreduce", "blockdiag"):
+        mc_k, w2_k = pr.fused_reweight_histogram(
+            sel, coeffs, base_w, bins, n_bins=n_bins,
+            chain_tile=4, event_tile=128, hist=hist,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mc_k), np.asarray(mc_r), rtol=2e-5, atol=1e-5,
+            err_msg=hist,
+        )
+    pr.fused_reweight_histogram.clear_cache()
+
+
 def test_fused_shared_bins_matches_xla(interp):
     """Shared-bins kernel (chain-invariant bins, single-matmul histogram)
     equals the per-chain radix kernel and the XLA path."""
