@@ -112,6 +112,21 @@ def make_fitter(
             step_size=float(g.get("StepSize", 0.01)),
         )
         return HMC(model, hc, init_theta, seed=seed)
+    if algo == "Ensemble":
+        from .ensemble import EnsembleConfig, EnsembleSampler
+
+        ec = EnsembleConfig(
+            n_steps=int(cfg.get("General.MCMC.NSteps", 10000)),
+            chunk_size=int(cfg.get("General.MCMC.AutoSave", 500)),
+            stretch_a=float(cfg.get("General.Ensemble.StretchA", 2.0)),
+        )
+        n_walkers = max(n_chains, 2 * model.n_params + (2 * model.n_params) % 2)
+        if init_theta.shape[0] != n_walkers:
+            reps = -(-n_walkers // init_theta.shape[0])
+            init_theta = np.tile(init_theta, (reps, 1))[:n_walkers]
+            rng = np.random.default_rng(seed)
+            init_theta = init_theta + 1e-4 * rng.normal(size=init_theta.shape)
+        return EnsembleSampler(model, ec, init_theta, seed=seed)
     if algo == "PSO":
         from .pso import PSOConfig, run_pso
 
