@@ -103,25 +103,19 @@ def make_step_fn(
             return model.propose(theta, key)
         # Adaptive throw: one global Cholesky across the concatenated vector,
         # scaled by the Robbins-Monro global factor. Special proposals
-        # (circular/flip) still applied per block.
+        # (circular/flip) applied with the whole-vector masks.
         key_n, key_f = jax.random.split(key)
         z = jax.random.normal(key_n, (n_params,), dtype=ATYPE)
         prop = theta + jnp.exp(adaptive.log_scale) * (adaptive.chol @ z)
         from ..params.state import circular_wrap  # local to avoid cycle
 
-        flip_keys = jax.random.split(key_f, len(model.priors))
-        parts = []
-        for prior, (start, size), fk in zip(model.priors, model.slices, flip_keys):
-            block = jax.lax.dynamic_slice(prop, (start,), (size,))
-            cur = jax.lax.dynamic_slice(theta, (start,), (size,))
-            block = jnp.where(prior.fixed, cur, block)
-            wrapped = circular_wrap(block, prior.circ_low, prior.circ_high)
-            block = jnp.where(prior.circ_mask & ~prior.fixed, wrapped, block)
-            do_flip = jax.random.uniform(fk, (size,)) < 0.5
-            flipped = 2.0 * prior.flip_point - block
-            block = jnp.where(prior.flip_mask & ~prior.fixed & do_flip, flipped, block)
-            parts.append(block)
-        return jnp.concatenate(parts)
+        flat = model._flat()
+        prop = jnp.where(flat.fixed, theta, prop)
+        wrapped = circular_wrap(prop, flat.circ_low, flat.circ_high)
+        prop = jnp.where(flat.circ_mask & ~flat.fixed, wrapped, prop)
+        do_flip = jax.random.uniform(key_f, (n_params,)) < 0.5
+        flipped = 2.0 * flat.flip_point - prop
+        return jnp.where(flat.flip_mask & ~flat.fixed & do_flip, flipped, prop)
 
     def step_fn(state: ChainState):
         key, k_prop, k_acc = jax.random.split(state.key, 3)
@@ -131,7 +125,9 @@ def make_step_fn(
         proposed = jax.vmap(lambda t, k: propose_fn(t, k, state.adaptive))(
             state.theta, prop_keys
         )
-        nll_prop, prior_parts, sample_parts = model.total_nll_batch_parts(proposed)
+        nll_prop, prior_parts, sample_parts = model.total_nll_batch_parts(
+            proposed, want_parts=config.record_breakdown
+        )
 
         # Acceptance probability (MR2T2.cpp:103-115)
         d_nll = nll_prop - state.nll

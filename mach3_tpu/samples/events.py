@@ -236,22 +236,71 @@ def build_sample_model(
     norm_idx = np.where(norm_idx < 0, n_total_params, norm_idx)
 
     # One-hot form for the MXU path (see SampleModel.norm_onehot) when the
-    # parameter count is small enough for the dense matrix to be cheap.
+    # parameter count is small enough for the dense matrix to be cheap, plus
+    # the match-count matrix S [NP+1, E] for the in-kernel log-matmul product.
     norm_onehot = None
+    norm_s = None
     if (n_total_params + 1) <= 128:
         flat = norm_idx.reshape(-1)
         oh = np.zeros((len(flat), n_total_params + 1), np.float32)
         oh[np.arange(len(flat)), flat] = 1.0
         norm_onehot = jnp.asarray(oh)
+        s = np.zeros((n_total_params + 1, events.n_events), np.float32)
+        for w_col in range(norm_idx.shape[1]):
+            np.add.at(s, (norm_idx[:, w_col], np.arange(events.n_events)), 1.0)
+        norm_s = jnp.asarray(s)
 
     if data is None:
         data = np.zeros(binning.n_bins)
 
-    # Without functional shifts the event->bin map never changes during the
-    # fit: precompute it (enables the shared-bins fused-kernel fast path).
+    # Bin-map precomputation. If no functional shift touches a binned axis the
+    # event->bin map never changes during the fit (shared-bins fast path).
+    # With exactly ONE elementwise shift on ONE binned axis, the binning moves
+    # into the fused kernel: bake the shifted axis's edges as static floats
+    # and precompute the static axes' summed contribution.
     static_bins = None
-    if not shifts:
+    kernel_shift = None
+    shift_static_base = None
+    binned_rows = [int(var_index[v]) for v in binning_vars]
+    shifted_binned = [s for s in shifts if s.var_row in binned_rows]
+    if not shifted_binned:
         static_bins = binning.find_bins(jnp.asarray(kin, FTYPE))
+    elif len(shifts) == 1 and len(shifted_binned) == 1:
+        s = shifts[0]
+        fn = s.fn
+        try:  # the shift must be elementwise in (value, x) — kin unavailable in-kernel
+            import jax as _jax
+
+            _jax.eval_shape(
+                lambda: fn(jnp.zeros((2, 1), FTYPE), jnp.zeros((1, 4), FTYPE), None)
+            )
+            ok = True
+        except Exception:
+            ok = False
+        if ok:
+            axis_j = binned_rows.index(s.var_row)
+            edges_np = np.asarray(binning.edges)
+            n_axis = np.asarray(binning.n_bins_axis)
+            strides = np.asarray(binning.strides)
+            static_base = np.zeros(events.n_events, np.int64)
+            valid = np.ones(events.n_events, bool)
+            for a, r in enumerate(binned_rows):
+                if a == axis_j:
+                    continue
+                real_edges = edges_np[a][: n_axis[a] + 1]
+                idx = np.searchsorted(real_edges, kin[r], side="right") - 1
+                valid &= (idx >= 0) & (idx < n_axis[a])
+                static_base += np.clip(idx, 0, n_axis[a] - 1) * strides[a]
+            static_base = np.where(valid, static_base, -1)
+            edges_j = tuple(float(x) for x in edges_np[axis_j][: n_axis[axis_j] + 1])
+            kernel_shift = (
+                lambda v, x, _fn=fn: _fn(v, x, None),
+                int(s.param_index),
+                edges_j,
+                int(strides[axis_j]),
+                int(n_axis[axis_j]),
+            )
+            shift_static_base = jnp.asarray(static_base, ITYPE)
 
     return SampleModel(
         name=name,
@@ -259,6 +308,7 @@ def build_sample_model(
         mc_weight=jnp.asarray(events.mc_weight, FTYPE),
         norm_idx=jnp.asarray(norm_idx, ITYPE),
         norm_onehot=norm_onehot,
+        norm_s=norm_s,
         binning=binning,
         data=jnp.asarray(data, ATYPE),
         spline_table=spline_table,
@@ -268,4 +318,6 @@ def build_sample_model(
         test_statistic=test_statistic,
         use_pallas=use_pallas,
         static_bins=static_bins,
+        kernel_shift=kernel_shift,
+        shift_static_base=shift_static_base,
     )

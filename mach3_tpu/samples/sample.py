@@ -209,6 +209,9 @@ class SampleModel:
     # on TPU (measured 12.5 GB/step); as a one-hot matmul it is one MXU
     # product with the indices baked in. None -> use the gather.
     norm_onehot: jnp.ndarray | None = None
+    # Match-count matrix [NP+1, E] f32 (S[np, e] = #slots of event e matched
+    # to param np) for the in-kernel log-matmul norm product.
+    norm_s: jnp.ndarray | None = None
     spline_table: DenseSplineTable | SparseSplineTable | None = None
     # Linear functional responses (the reference's TF1_red splines evaluated
     # by EvalOnGPU_TF1); multiplied into the same per-event weight product.
@@ -221,10 +224,16 @@ class SampleModel:
     # Route chain-batched reweights through the fused Pallas kernel
     # (splines/pallas_reweight.py). TPU-only; requires a dense spline table.
     use_pallas: bool = struct.field(pytree_node=False, default=False)
-    # Precomputed event->bin map [E] when no functional shifts exist: bins are
-    # then proposal-independent, find_bins vanishes from the step, and the
-    # fused kernel takes the shared-bins (single-matmul histogram) fast path.
+    # Precomputed event->bin map [E] when no functional shift touches a binned
+    # axis: bins are then proposal-independent, find_bins vanishes from the
+    # step, and the fused kernel takes the shared-bins fast path.
     static_bins: jnp.ndarray | None = None
+    # In-kernel shifted binning (exactly one elementwise shift on one binned
+    # axis): static descriptor (fn, param_index, edges tuple, stride, n_axis)
+    # plus the static-axis bin contribution. Bin edges are baked into the
+    # kernel; no [C, E] bin array ever reaches HBM.
+    kernel_shift: tuple | None = struct.field(pytree_node=False, default=None)
+    shift_static_base: jnp.ndarray | None = None
 
     @property
     def n_events(self) -> int:
@@ -345,8 +354,15 @@ class SampleModel:
             spline_selector,
         )
 
+        # The norm product moves in-kernel (log-matmul) when norm_s exists AND
+        # the kernel variant supports it (the shifted path); otherwise it is
+        # part of the XLA-side base weight.
+        norm_in_kernel = self.norm_s is not None and self.kernel_shift is not None
+
         def _base(t, c):
-            w = self.mc_weight * self._norm_weights(t) * self._osc_weights(t, c)
+            w = self.mc_weight * self._osc_weights(t, c)
+            if not norm_in_kernel:
+                w = w * self._norm_weights(t)
             if self.tf1_table is not None:
                 w = w * self.tf1_table.eval(t)
             return w
@@ -360,6 +376,33 @@ class SampleModel:
         if self.static_bins is not None:
             return fused_reweight_histogram_shared(
                 selector, coeffs, base_w, self.static_bins, n_bins=self.n_bins
+            )
+        if self.kernel_shift is not None:
+            from ..splines.pallas_reweight import fused_reweight_histogram_shifted
+
+            fn, param_index, edges, stride_j, n_axis_j = self.kernel_shift
+            norm_kwargs = {}
+            if norm_in_kernel:
+                ones = jnp.ones((thetas.shape[0], 1), FTYPE)
+                norm_kwargs = dict(
+                    norm_ext=jnp.concatenate(
+                        [thetas.astype(FTYPE), ones], axis=1
+                    ),
+                    norm_s=self.norm_s,
+                )
+            return fused_reweight_histogram_shifted(
+                selector,
+                coeffs,
+                base_w,
+                thetas[:, param_index].astype(FTYPE),
+                self.kin[self.shifts[0].var_row],
+                self.shift_static_base,
+                n_bins=self.n_bins,
+                shift_fn=fn,
+                edges=edges,
+                stride_j=stride_j,
+                n_axis_j=n_axis_j,
+                **norm_kwargs,
             )
         bins = jax.vmap(
             lambda t: self.binning.find_bins(self._shifted_kinematics(t))
@@ -401,6 +444,8 @@ class SampleModel:
         return self.replace(
             binning=binning,
             static_bins=static_bins,
+            kernel_shift=None,  # conservative: rebuilt only by build_sample_model
+            shift_static_base=None,
             data=jnp.zeros((binning.n_bins,), ATYPE),
         )
 

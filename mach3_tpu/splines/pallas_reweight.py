@@ -246,6 +246,218 @@ def _kernel_maskreduce(
     w2_ref[:] += jnp.concatenate(cols_w2, axis=1)
 
 
+def _norm_weight(logext_ref, negext_ref, norm_s_ref):
+    """In-kernel normalisation product via log-matmul.
+
+    The per-event product of matched norm parameters Π_w ext[idx[e,w]] equals
+    exp(Σ_np log|ext[np]|·S[np,e]) · (-1)^(Σ_np neg[np]·S[np,e]) where S is the
+    static match-count matrix — TWO tiny MXU dots [CT, NPp1] @ [NPp1, ET]
+    instead of the XLA one-hot matmul's [C, E*Wn] intermediate (measured
+    ~1.6 ms/step at 256 chains). |ext| is floored at 1e-30 upstream (comfortably NORMAL in f32 —
+    denormals flush to zero, and log(0)·0 would poison the dot with NaN);
+    exact-zero norms become ~1e-30 weights.
+    """
+    lw = jax.lax.dot_general(
+        logext_ref[:], norm_s_ref[:],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [CT, ET]
+    pw = jax.lax.dot_general(
+        negext_ref[:], norm_s_ref[:],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [CT, ET] integer-valued parity counts
+    sign = 1.0 - 2.0 * (pw - 2.0 * jnp.floor(pw * 0.5))
+    return jnp.exp(lw) * sign
+
+
+def _kernel_maskreduce_shifted(
+    selector_ref, base_ref, shiftv_ref, xnom_ref, static_ref, coeffs_ref,
+    *refs,
+    n_params, n_bins, shift_fn, edges, stride_j, n_axis_j, has_norm,
+):
+    """Mask-reduce variant with the shifted-axis BINNING fused in: the bin
+    edges are static per sample, so they are baked into the kernel as python
+    floats and the per-chain searchsorted is an unrolled compare-accumulate —
+    no [C, E] bin array ever exists in HBM (the XLA bins pass measured ~3 ms
+    per step at 256 chains x 100k events).
+
+    shiftv_ref [CT, 1]: per-chain shift-parameter value; xnom_ref [1, ET]:
+    nominal values of the shifted variable; static_ref [1, ET] i32: summed
+    static-axis bin contribution (-1 = invalid on a static axis). With
+    ``has_norm``, refs = (logext, negext, norm_s, mc, w2) and the norm
+    product runs in-kernel (see :func:`_norm_weight`).
+    """
+    if has_norm:
+        logext_ref, negext_ref, norm_s_ref, mc_ref, w2_ref = refs
+    else:
+        mc_ref, w2_ref = refs
+    ee = pl.program_id(1)
+
+    @pl.when(ee == 0)
+    def _():
+        mc_ref[:] = jnp.zeros_like(mc_ref)
+        w2_ref[:] = jnp.zeros_like(w2_ref)
+
+    w = base_ref[:]
+    for p in range(n_params):
+        resp = jax.lax.dot_general(
+            selector_ref[:, p, :],
+            coeffs_ref[p],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        w = w * resp
+    if has_norm:
+        w = w * _norm_weight(logext_ref, negext_ref, norm_s_ref)
+
+    # Shifted value per (chain, event), then the unrolled searchsorted.
+    x = shift_fn(shiftv_ref[:], xnom_ref[:])  # [CT, 1] x [1, ET] -> [CT, ET]
+    idx = jnp.full(x.shape, -1, jnp.int32)
+    for e_k in edges:
+        idx = idx + (x >= jnp.float32(e_k)).astype(jnp.int32)
+    static = static_ref[:]  # [1, ET] i32
+    valid = (idx >= 0) & (idx < jnp.int32(n_axis_j)) & (static >= 0)
+    bins = jnp.where(
+        valid, static + idx * jnp.int32(stride_j), jnp.int32(n_bins)
+    )  # [CT, ET]
+
+    w2 = w * w
+    cols_mc = []
+    cols_w2 = []
+    for b in range(n_bins):
+        mask = (bins == jnp.int32(b)).astype(jnp.float32)
+        cols_mc.append(jnp.sum(w * mask, axis=1, keepdims=True))
+        cols_w2.append(jnp.sum(w2 * mask, axis=1, keepdims=True))
+    pad = mc_ref.shape[1] - n_bins
+    if pad:
+        zero = jnp.zeros((w.shape[0], pad), jnp.float32)
+        cols_mc.append(zero)
+        cols_w2.append(zero)
+    mc_ref[:] += jnp.concatenate(cols_mc, axis=1)
+    w2_ref[:] += jnp.concatenate(cols_w2, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_bins", "shift_fn", "edges", "stride_j", "n_axis_j",
+        "chain_tile", "event_tile",
+    ),
+)
+def fused_reweight_histogram_shifted(
+    selector: jnp.ndarray,  # [C, P, K4] f32
+    coeffs: jnp.ndarray,  # [P, K4, E] f32
+    base_w: jnp.ndarray,  # [C, E] f32
+    shift_vals: jnp.ndarray,  # [C] f32 — per-chain shift-parameter value
+    x_nom: jnp.ndarray,  # [E] f32 — nominal shifted-variable values
+    static_base: jnp.ndarray,  # [E] i32 — static-axis contribution (-1 invalid)
+    n_bins: int,
+    shift_fn,  # static callable (v [CT,1], x [1,ET]) -> [CT, ET], elementwise
+    edges: tuple,  # static python floats: edges of the shifted axis
+    stride_j: int,
+    n_axis_j: int,
+    chain_tile: int = 16,
+    event_tile: int = 2048,
+    norm_ext: jnp.ndarray | None = None,  # [C, NPp1] extended norm values
+    norm_s: jnp.ndarray | None = None,  # [NPp1, E] f32 static match counts
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mask-reduce kernel with in-kernel shifted-axis binning (and, when
+    ``norm_ext``/``norm_s`` are given, the in-kernel norm product). Returns
+    (mc [C, B], w2 [C, B]) in f32."""
+    c, p, k4 = selector.shape
+    e = coeffs.shape[2]
+    bp = -(-n_bins // 128) * 128
+    has_norm = norm_ext is not None
+    cpad = -c % chain_tile
+    epad = -e % event_tile
+    if cpad:
+        selector = jnp.pad(selector, ((0, cpad), (0, 0), (0, 0)))
+        base_w = jnp.pad(base_w, ((0, cpad), (0, 0)))
+        shift_vals = jnp.pad(shift_vals, ((0, cpad),))
+        if has_norm:
+            norm_ext = jnp.pad(norm_ext, ((0, cpad), (0, 0)), constant_values=1.0)
+    if epad:
+        coeffs = jnp.pad(coeffs, ((0, 0), (0, 0), (0, epad)))
+        base_w = jnp.pad(base_w, ((0, 0), (0, epad)))
+        x_nom = jnp.pad(x_nom, ((0, epad),))
+        static_base = jnp.pad(static_base, ((0, epad),), constant_values=-1)
+        if has_norm:
+            norm_s = jnp.pad(norm_s, ((0, 0), (0, epad)))
+    cp, ep = c + cpad, e + epad
+    shift2d = shift_vals[:, None].astype(jnp.float32)
+    xnom2d = x_nom[None, :].astype(jnp.float32)
+    static2d = static_base[None, :].astype(jnp.int32)
+
+    grid = (cp // chain_tile, ep // event_tile)
+    kernel = functools.partial(
+        _kernel_maskreduce_shifted,
+        n_params=p, n_bins=n_bins, shift_fn=shift_fn,
+        edges=edges, stride_j=stride_j, n_axis_j=n_axis_j, has_norm=has_norm,
+    )
+    i32 = jnp.int32
+    in_specs = [
+        pl.BlockSpec(
+            (chain_tile, p, k4),
+            lambda ce, ee: (ce, i32(0), i32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (chain_tile, event_tile),
+            lambda ce, ee: (ce, ee),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (chain_tile, 1),
+            lambda ce, ee: (ce, i32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, event_tile),
+            lambda ce, ee: (i32(0), ee),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, event_tile),
+            lambda ce, ee: (i32(0), ee),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (p, k4, event_tile),
+            lambda ce, ee: (i32(0), i32(0), ee),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [selector, base_w, shift2d, xnom2d, static2d, coeffs]
+    if has_norm:
+        npp1 = norm_ext.shape[1]
+        absext = jnp.maximum(jnp.abs(norm_ext.astype(jnp.float32)), 1e-30)
+        args.append(jnp.log(absext))
+        args.append((norm_ext < 0).astype(jnp.float32))
+        args.append(norm_s.astype(jnp.float32))
+        in_specs.append(
+            pl.BlockSpec((chain_tile, npp1), lambda ce, ee: (ce, i32(0)), memory_space=pltpu.VMEM)
+        )
+        in_specs.append(
+            pl.BlockSpec((chain_tile, npp1), lambda ce, ee: (ce, i32(0)), memory_space=pltpu.VMEM)
+        )
+        in_specs.append(
+            pl.BlockSpec((npp1, event_tile), lambda ce, ee: (i32(0), ee), memory_space=pltpu.VMEM)
+        )
+    mc, w2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((chain_tile, bp), lambda ce, ee: (ce, i32(0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chain_tile, bp), lambda ce, ee: (ce, i32(0)), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((cp, bp), jnp.float32),
+            jax.ShapeDtypeStruct((cp, bp), jnp.float32),
+        ),
+    )(*args)
+    return mc[:c, :n_bins], w2[:c, :n_bins]
+
+
 def _kernel_shared(
     selector_ref, base_ref, bins_ref, coeffs_ref, mc_ref, w2_ref,
     *, n_params, n_bins_padded,

@@ -183,3 +183,43 @@ def test_static_bins_paths_agree():
     mc_d, w2_d = s_dyn.reweight(theta)
     np.testing.assert_allclose(np.asarray(mc_s), np.asarray(mc_d), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(w2_s), np.asarray(w2_d), rtol=1e-6)
+
+
+def test_kernel_shift_binning_matches_xla(interp):
+    """In-kernel shifted binning (baked edges + per-chain searchsorted) equals
+    the XLA find_bins path on the toy (which has the e-scale shift)."""
+    from mach3_tpu.tutorial.toy import build_toy
+
+    toy = build_toy(n_events=600, seed=12, use_pallas=True)
+    s = toy.samples[0]
+    assert s.kernel_shift is not None and s.shift_static_base is not None
+    rng = np.random.default_rng(0)
+    thetas = jnp.asarray(
+        np.tile(np.asarray(toy.model.prefit_vector()), (4, 1))
+        + 0.05 * rng.normal(size=(4, toy.model.n_params))
+    )
+    mc_k, w2_k = s.reweight_batch(thetas)
+    s_xla = s.replace(use_pallas=False)
+    mc_r, w2_r = s_xla.reweight_batch(thetas)
+    np.testing.assert_allclose(np.asarray(mc_k), np.asarray(mc_r), rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(w2_k), np.asarray(w2_r), rtol=2e-4, atol=1e-4)
+
+
+def test_in_kernel_norm_with_negative_values(interp):
+    """The in-kernel log-matmul norm product handles negative and zero norm
+    parameter values (sign via match-count parity) identically to the XLA
+    one-hot-product path."""
+    from mach3_tpu.tutorial.toy import build_toy
+
+    toy = build_toy(n_events=500, seed=13, use_pallas=True)
+    s = toy.samples[0]
+    assert s.norm_s is not None and s.kernel_shift is not None
+    theta = np.asarray(toy.model.prefit_vector())
+    thetas = np.tile(theta, (3, 1))
+    # Chain 1: make one matched norm parameter negative; chain 2: zero.
+    thetas[1, 0] = -0.7
+    thetas[2, 0] = 0.0
+    thetas = jnp.asarray(thetas)
+    mc_k, _ = s.reweight_batch(thetas)
+    mc_r, _ = s.replace(use_pallas=False).reweight_batch(thetas)
+    np.testing.assert_allclose(np.asarray(mc_k), np.asarray(mc_r), rtol=2e-4, atol=1e-3)
