@@ -15,7 +15,12 @@ import numpy as np
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("chain", help="Chain .npz file")
+    parser.add_argument(
+        "chain",
+        nargs="+",
+        help="Chain .npz file(s); extra chains overlay in a comparison plot "
+        "(the reference ProcessMCMC multi-chain mode)",
+    )
     parser.add_argument("--outdir", "-o", default="plots")
     parser.add_argument("--burn-in", type=float, default=0.2)
     parser.add_argument("--triangle", nargs="*", default=None,
@@ -44,7 +49,7 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     os.makedirs(args.outdir, exist_ok=True)
-    draws, meta, _ = load_chain(args.chain)
+    draws, meta, _ = load_chain(args.chain[0])
     proc = ChainProcessor(draws["theta"], names=meta["names"], burn_in=args.burn_in)
 
     written = []
@@ -56,6 +61,19 @@ def main(argv: list[str] | None = None) -> int:
 
     save(plot_posteriors_1d(proc), "posteriors_1d.png")
     save(plot_violins(proc), "violins.png")
+
+    if len(args.chain) > 1:
+        from ..plotting import plot_posterior_comparison
+
+        procs = [proc]
+        labels = [os.path.basename(args.chain[0])]
+        for path in args.chain[1:]:
+            d, m, _ = load_chain(path)
+            procs.append(
+                ChainProcessor(d["theta"], names=m["names"], burn_in=args.burn_in)
+            )
+            labels.append(os.path.basename(path))
+        save(plot_posterior_comparison(procs, labels), "posterior_comparison.png")
     save(plot_matrix(proc.correlation(), proc.names, "posterior correlation"), "correlation.png")
 
     if "prefit" in meta:

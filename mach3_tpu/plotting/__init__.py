@@ -2,6 +2,7 @@ from .plots import (
     plot_diagnostics,
     plot_llh_scans,
     plot_matrix,
+    plot_posterior_comparison,
     plot_posteriors_1d,
     plot_prefit_postfit,
     plot_sigma_variations,
@@ -13,6 +14,7 @@ __all__ = [
     "plot_diagnostics",
     "plot_llh_scans",
     "plot_matrix",
+    "plot_posterior_comparison",
     "plot_posteriors_1d",
     "plot_prefit_postfit",
     "plot_sigma_variations",

@@ -48,6 +48,38 @@ def plot_posteriors_1d(proc, indices: Sequence[int] | None = None, bins: int = 8
     return fig
 
 
+def plot_posterior_comparison(
+    procs, labels: Sequence[str], indices: Sequence[int] | None = None, bins: int = 80
+):
+    """Overlay 1D posteriors from several chains — the reference
+    ``ProcessMCMC`` multi-chain comparison mode
+    (``Diagnostics/ProcessMCMC.cpp``). Parameters are matched by name through
+    the first chain's ordering."""
+    plt = _mpl()
+    ref = procs[0]
+    indices = list(indices) if indices is not None else list(range(ref.n_params))
+    n = len(indices)
+    cols = min(4, n)
+    rows = (n + cols - 1) // cols
+    fig, axes = plt.subplots(rows, cols, figsize=(4 * cols, 3 * rows), squeeze=False)
+    for k, i in enumerate(indices):
+        ax = axes[k // cols][k % cols]
+        name = ref.names[i]
+        for p, (proc, lab) in enumerate(zip(procs, labels)):
+            j = proc.names.index(name) if name in proc.names else None
+            if j is None:
+                continue
+            centers, counts = proc.posterior_1d(j, bins=bins)
+            ax.step(centers, counts, where="mid", color=f"C{p}", label=lab, lw=1.2)
+        ax.set_title(name, fontsize=9)
+        if k == 0:
+            ax.legend(fontsize=7)
+    for k in range(n, rows * cols):
+        axes[k // cols][k % cols].axis("off")
+    fig.tight_layout()
+    return fig
+
+
 def plot_triangle(proc, indices: Sequence[int], bins: int = 50, masses=(0.6827, 0.9545)):
     """Triangle plot: 1D posteriors on the diagonal, 2D credible regions below
     (``MCMCProcessor`` triangle machinery)."""

@@ -118,3 +118,11 @@ def test_plot(chain_file, tmp_path):
     assert rc == 0
     for f in ["posteriors_1d.png", "violins.png", "correlation.png", "triangle.png"]:
         assert os.path.exists(os.path.join(outdir, f)), f
+
+
+def test_plot_multichain_comparison(chain_file, tmp_path):
+    """Multi-chain posterior-comparison overlay (ProcessMCMC multi-chain mode)."""
+    outdir = str(tmp_path / "plots_cmp")
+    rc = cli_plot.main([chain_file, chain_file, "-o", outdir])
+    assert rc == 0
+    assert os.path.exists(os.path.join(outdir, "posterior_comparison.png"))
