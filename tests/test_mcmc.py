@@ -153,3 +153,46 @@ def test_record_breakdown_branches():
     acc = out["accepted"]
     total = out["prior_nll_parts"].sum(-1) + out["sample_nll_parts"].sum(-1)
     assert np.allclose(total[acc], out["nll"][acc], rtol=1e-10)
+
+
+def test_toy_asimov_fit_recovers_truth():
+    """End-to-end: adaptive MR2T2 on the toy with Asimov data recovers the
+    generating parameters — posterior means consistent with truth and the
+    truth covered by central intervals (the reference CI's FitterValidations
+    purpose, ``.github/workflows/CIValidations.yml``)."""
+    import numpy as np
+    from mach3_tpu.diagnostics.processor import ChainProcessor
+    from mach3_tpu.fitters.mcmc import MR2T2, MCMCConfig
+    from mach3_tpu.tutorial.toy import build_toy
+
+    toy = build_toy(n_events=1500, seed=21, e_grid_size=64)
+    truth = np.asarray(toy.model.prefit_vector())
+    n_chains = 24
+    rng = np.random.default_rng(5)
+    init = np.tile(truth, (n_chains, 1)) + 1e-3 * rng.normal(
+        size=(n_chains, len(truth))
+    )
+    cfg = MCMCConfig(
+        n_steps=4000, chunk_size=1000, adaptive=True,
+        adaption_start_update=200, adaption_start_throw=800,
+    )
+    f = MR2T2(toy.model, cfg, init, seed=9)
+    out = f.run()
+    # acceptance in a workable band once adapted
+    acc_late = out["accepted"][2000:].mean()
+    assert 0.05 < acc_late < 0.6, acc_late
+
+    proc = ChainProcessor(out["theta"], names=toy.names, burn_in=0.5)
+    n_cover = 0
+    free = 0
+    for i, name in enumerate(toy.names):
+        s = proc.summary(i)
+        if s.arithmetic_std < 1e-12:  # fixed params
+            continue
+        free += 1
+        lo, hi = proc.credible_interval(i, 0.9545)
+        n_cover += int(lo <= truth[i] <= hi)
+        # posterior mean within 5 posterior sigmas of truth (Asimov data)
+        assert abs(s.arithmetic_mean - truth[i]) < 5 * s.arithmetic_std + 1e-12, name
+    assert free >= 10
+    assert n_cover >= int(0.8 * free), (n_cover, free)
