@@ -75,8 +75,18 @@ def _mcmc_config(cfg: Config) -> MCMCConfig:
         adaption_start_update=int(adaption.get("StartUpdate", 100)),
         adaption_end_update=int(adaption.get("EndUpdate", 1_000_000)),
         adaption_update_step=int(adaption.get("UpdateStep", 100)),
+        adaption_blocks=_adaption_blocks(cfg),
         record_breakdown=bool(g.get("RecordLLHBreakdown", False)),
     )
+
+
+def _adaption_blocks(cfg: Config):
+    """``AdaptionOptions.Covariance.MatrixBlocks`` — flat (lb, ub) index pairs
+    per block (``AdaptiveMCMCHandler.cpp:121-135``)."""
+    blocks = cfg.get("AdaptionOptions.Covariance.MatrixBlocks", None)
+    if not blocks:
+        return None
+    return tuple(tuple(int(x) for x in b) for b in blocks)
 
 
 def make_fitter(

@@ -72,6 +72,12 @@ class MCMCConfig:
     adaption_start_update: int = 100  # start accumulating moments
     adaption_end_update: int = 1_000_000
     adaption_update_step: int = 100  # refresh Cholesky cadence
+    # Adaption blocks (``AdaptiveMCMCHandler::SetAdaptiveBlocks``,
+    # ``AdaptiveMCMCHandler.cpp:152-190``): each entry is a flat tuple of
+    # (lower, upper) index pairs assigned to that block; unassigned parameters
+    # form the default block. The adapted covariance is masked to
+    # block-diagonal — cross-block correlations are never learned.
+    adaption_blocks: tuple[tuple[int, ...], ...] | None = None
     target_scale: float | None = None  # None -> 2.38^2 / d (Haario optimal)
     # Robbins-Monro global-scale adaptation towards the optimal acceptance
     # rate (reference ``AdaptiveMCMCHandler.h:228-239``, target 0.234).
@@ -92,11 +98,29 @@ def _masked_cholesky(cov: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return jnp.linalg.cholesky(cov + jitter)
 
 
+def adaption_block_mask(n_params: int, blocks) -> jnp.ndarray | None:
+    """[P, P] 0/1 mask keeping only same-block covariance entries (None when
+    no blocks are configured — everything adapts jointly)."""
+    if not blocks:
+        return None
+    ids = np.zeros(n_params, np.int32)
+    for b, ranges in enumerate(blocks):
+        for k in range(0, len(ranges) - 1, 2):
+            lb, ub = int(ranges[k]), int(ranges[k + 1])
+            if lb > n_params or ub > n_params:
+                raise ValueError(
+                    f"Adaption block [{lb}, {ub}) exceeds {n_params} parameters"
+                )
+            ids[lb:ub] = b + 1
+    return jnp.asarray((ids[:, None] == ids[None, :]).astype(np.float64))
+
+
 def make_step_fn(
     model: FitModel, config: MCMCConfig
 ) -> Callable[[ChainState], tuple[ChainState, dict[str, jnp.ndarray]]]:
     """Build the pure single-step transition for a batch of chains."""
     n_params = model.n_params
+    block_mask = adaption_block_mask(n_params, config.adaption_blocks)
 
     def propose_fn(theta: jnp.ndarray, key: jax.Array, adaptive: AdaptiveState | None):
         if adaptive is None:
@@ -148,7 +172,9 @@ def make_step_fn(
 
         adaptive = state.adaptive
         if adaptive is not None:
-            adaptive = _update_adaptive(adaptive, theta, step, config, jnp.mean(acc_prob))
+            adaptive = _update_adaptive(
+                adaptive, theta, step, config, jnp.mean(acc_prob), block_mask
+            )
 
         new_state = ChainState(
             theta=theta,
@@ -181,6 +207,7 @@ def _update_adaptive(
     step: jnp.ndarray,
     config: MCMCConfig,
     mean_acc_prob: jnp.ndarray,
+    block_mask: jnp.ndarray | None = None,
 ) -> AdaptiveState:
     """Haario moment update pooled over the chain batch
     (``AdaptiveMCMCHandler.cpp:332-400``, generalised: each step contributes the
@@ -199,6 +226,10 @@ def _update_adaptive(
         + xxt
     ) / safe_n
     new_cov = jnp.where(n > 0, cov_updated, ad.cov)
+    if block_mask is not None:
+        # Independent adaption blocks: cross-block entries never learned
+        # (``SetAdaptiveBlocks``, ``AdaptiveMCMCHandler.cpp:152-190``).
+        new_cov = new_cov * block_mask
 
     mean = jnp.where(in_window, new_mean, ad.mean)
     cov = jnp.where(in_window, new_cov, ad.cov)

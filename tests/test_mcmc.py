@@ -196,3 +196,35 @@ def test_toy_asimov_fit_recovers_truth():
         assert abs(s.arithmetic_mean - truth[i]) < 5 * s.arithmetic_std + 1e-12, name
     assert free >= 10
     assert n_cover >= int(0.8 * free), (n_cover, free)
+
+
+def test_adaption_blocks_zero_cross_block_covariance():
+    """MatrixBlocks semantics (``AdaptiveMCMCHandler::SetAdaptiveBlocks``):
+    cross-block covariance entries are never learned."""
+    import numpy as np
+    from mach3_tpu.fitters.mcmc import MR2T2, MCMCConfig, adaption_block_mask
+    from mach3_tpu.tutorial.toy import build_toy
+
+    mask = adaption_block_mask(6, (( 0, 2), (2, 5)))
+    m = np.asarray(mask)
+    assert m[0, 1] == 1 and m[2, 4] == 1
+    assert m[0, 2] == 0 and m[1, 4] == 0 and m[5, 0] == 0
+    assert m[5, 5] == 1  # unassigned params form the default block
+
+    toy = build_toy(n_events=800, seed=4)
+    p = toy.model.n_params
+    cfg = MCMCConfig(
+        n_steps=300, chunk_size=100, adaptive=True,
+        adaption_start_update=10, adaption_start_throw=50,
+        adaption_update_step=50, adaption_blocks=((0, 10), (10, p)),
+    )
+    init = np.tile(np.asarray(toy.model.prefit_vector()), (8, 1))
+    f = MR2T2(toy.model, cfg, init, seed=3)
+    f.run()
+    cov = np.asarray(f.state.adaptive.cov)
+    assert np.all(cov[:10, 10:] == 0.0)
+    assert np.all(cov[10:, :10] == 0.0)
+    assert np.any(cov[:10, :10] != 0.0)
+
+    with np.testing.assert_raises(ValueError):
+        adaption_block_mask(4, ((0, 9),))
