@@ -90,82 +90,102 @@ def herm_eigvals(hr: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
     return q[..., None] + 2.0 * p[..., None] * jnp.cos(ang)
 
 
-def _sinc(x: jnp.ndarray) -> jnp.ndarray:
-    """sin(x)/x with the x -> 0 limit (series switch for stability)."""
+_TWO_PI = 6.283185307179586476925286766559
+
+
+def _reduced_sincos(x: jnp.ndarray, trig_dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(sin x, cos x) with range reduction in x's (high-precision) dtype and
+    the transcendentals in ``trig_dtype``.
+
+    On TPU, f64 sin/cos are software-emulated and dominate the layered
+    (atmospheric) path where λL ~ 1e3 rad. Reducing mod 2π in f64 (mult +
+    round + sub — cheap even emulated) and evaluating the trig in f32 keeps
+    the phase exact to ~1e-7 rad at any magnitude.
+    """
+    red = x - _TWO_PI * jnp.round(x * (1.0 / _TWO_PI))
+    red = red.astype(trig_dtype)
+    return jnp.sin(red), jnp.cos(red)
+
+
+def _sinc(x: jnp.ndarray, sin_x: jnp.ndarray) -> jnp.ndarray:
+    """sin(x)/x from a precomputed sin, with the x -> 0 series limit."""
     small = jnp.abs(x) < 1e-4
     safe = jnp.where(small, 1.0, x)
-    return jnp.where(small, 1.0 - x * x / 6.0, jnp.sin(safe) / safe)
+    return jnp.where(small, 1.0 - x * x / 6.0, sin_x / safe)
 
 
-def _phase_dd(a: jnp.ndarray, b: jnp.ndarray, length: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _phase_dd(
+    a: jnp.ndarray, b: jnp.ndarray, length: jnp.ndarray, trig_dtype
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """First divided difference of f(λ) = exp(-i λ L):
 
     (e^{-iaL} - e^{-ibL}) / (a - b) = -i L e^{-i(a+b)L/2} sinc((a-b)L/2)
 
     — exact and stable as a -> b (degenerate eigenvalues).
-    Returns the (re, im) pair.
+    Returns the (re, im) pair in ``trig_dtype`` precision trig.
     """
     m = 0.5 * (a + b) * length
     d = 0.5 * (a - b) * length
-    s = length * _sinc(d)
-    return -s * jnp.sin(m), -s * jnp.cos(m)
+    sin_m, cos_m = _reduced_sincos(m, trig_dtype)
+    sin_d, _ = _reduced_sincos(d, trig_dtype)
+    s = length.astype(trig_dtype) * _sinc(d.astype(trig_dtype), sin_d)
+    return -s * sin_m, -s * cos_m
 
 
-def herm_evolution(
+def herm_eigensystem(
     hr: jnp.ndarray,
     hi: jnp.ndarray,
-    length: jnp.ndarray,
     phase_dtype=None,
     h_phase: Pair | None = None,
-) -> Pair:
-    """exp(-i H L) for a Hermitian 3x3 batch, all-real ops.
+) -> dict:
+    """Length-independent pieces of exp(-i H L): sorted eigenvalues (in
+    ``phase_dtype``) plus the Newton matrix factors (H − λ1), (H − λ1)(H − λ2)
+    in the matrix dtype. Split out so layered media can compute this once per
+    unique (energy, density) pair and reuse it for every (zenith, layer)
+    segment with that density (the eigensolve dominates the layered cost)."""
+    phase_dtype = phase_dtype or hr.dtype
+    hr_p, hi_p = h_phase if h_phase is not None else (hr, hi)
+    lam_p = jnp.sort(
+        herm_eigvals(hr_p.astype(phase_dtype), hi_p.astype(phase_dtype)), axis=-1
+    )  # ascending [..., 3]
+    lam = lam_p.astype(hr.dtype)
+    eye = jnp.eye(3, dtype=hr.dtype)
+    m1_r = hr - lam[..., 0, None, None] * eye  # H - λ1 (imag part is hi)
+    m2_r = hr - lam[..., 1, None, None] * eye
+    q_r, q_i = c_matmul((m1_r, hi), (m2_r, hi))  # (H-λ1)(H-λ2)
+    return dict(lam_p=lam_p, m1_r=m1_r, hi=hi, q_r=q_r, q_i=q_i)
 
-    Newton divided-difference form (stable under eigenvalue degeneracy, which
-    the Frobenius-covariant form is not — e.g. Δm²21 -> 0 or θ13 = 0 corners):
+
+def evolution_from_eigensystem(eig: dict, length: jnp.ndarray) -> Pair:
+    """exp(-i H L) from :func:`herm_eigensystem` pieces, Newton
+    divided-difference form (stable under eigenvalue degeneracy, which the
+    Frobenius-covariant form is not — e.g. Δm²21 -> 0 or θ13 = 0 corners):
 
         f(H) = f(λ1) I + f[λ1,λ2] (H − λ1) + f[λ1,λ2,λ3] (H − λ1)(H − λ2)
 
     with f(λ) = exp(-i λ L). First differences use the sinc identity (exact in
     the degenerate limit); the second difference is guarded — it only becomes
     ill-conditioned under *triple* degeneracy, where its matrix factor
-    (H − λ1)(H − λ2) vanishes anyway.
-
-    phase_dtype: dtype for the eigenvalue + phase computation. For f32 inputs
-    with large phases (atmospheric: λL ~ 1e3 rad) pass float64 — the
-    eigenvalues and trigonometry are per-grid-point scalars (cheap even
-    emulated on TPU), while the 3x3 matrix work stays in the input dtype.
-    h_phase: optional full-precision (hr, hi) pair for the eigenvalue path —
-    required for phase accuracy when hr itself was already rounded to f32.
+    (H − λ1)(H − λ2) vanishes anyway. Phases form in the eigenvalue dtype and
+    the trig runs range-reduced in the matrix dtype (see _reduced_sincos).
     """
-    phase_dtype = phase_dtype or hr.dtype
-    length_p = jnp.asarray(length, phase_dtype)
-    hr_p, hi_p = h_phase if h_phase is not None else (hr, hi)
-    hr_p = hr_p.astype(phase_dtype)
-    hi_p = hi_p.astype(phase_dtype)
-    lam_p = jnp.sort(herm_eigvals(hr_p, hi_p), axis=-1)  # ascending [..., 3]
+    lam_p, m1_r, hi = eig["lam_p"], eig["m1_r"], eig["hi"]
+    q_r, q_i = eig["q_r"], eig["q_i"]
+    trig_dtype = m1_r.dtype
+    length_p = jnp.asarray(length, lam_p.dtype)
     l1, l2, l3 = lam_p[..., 0], lam_p[..., 1], lam_p[..., 2]
 
     p1 = l1 * length_p
-    f1_r, f1_i = jnp.cos(p1), -jnp.sin(p1)
-    f12_r, f12_i = _phase_dd(l1, l2, length_p)
-    f23_r, f23_i = _phase_dd(l2, l3, length_p)
-    d13 = l1 - l3
+    sin_p1, cos_p1 = _reduced_sincos(p1, trig_dtype)
+    f1_r, f1_i = cos_p1, -sin_p1
+    f12_r, f12_i = _phase_dd(l1, l2, length_p, trig_dtype)
+    f23_r, f23_i = _phase_dd(l2, l3, length_p, trig_dtype)
+    d13 = (l1 - l3).astype(trig_dtype)
     inv13 = jnp.where(jnp.abs(d13) < 1e-30, 0.0, 1.0 / jnp.where(d13 == 0, 1.0, d13))
-    f123_r = (f12_r - f23_r) * inv13
+    f123_r = (f12_r - f23_r) * inv13  # broadcasts over the length batch
     f123_i = (f12_i - f23_i) * inv13
 
-    # Cast the scalar coefficient fields back to the matrix dtype.
-    lam = lam_p.astype(hr.dtype)
-    l1, l2 = lam[..., 0], lam[..., 1]
-    f1_r, f1_i = f1_r.astype(hr.dtype), f1_i.astype(hr.dtype)
-    f12_r, f12_i = f12_r.astype(hr.dtype), f12_i.astype(hr.dtype)
-    f123_r, f123_i = f123_r.astype(hr.dtype), f123_i.astype(hr.dtype)
-
-    eye = jnp.eye(3, dtype=hr.dtype)
-    m1_r = hr - l1[..., None, None] * eye  # H - λ1 (imag part is hi)
-    m2_r = hr - l2[..., None, None] * eye
-    q_r, q_i = c_matmul((m1_r, hi), (m2_r, hi))  # (H-λ1)(H-λ2)
-
+    eye = jnp.eye(3, dtype=trig_dtype)
     out_r = (
         f1_r[..., None, None] * eye
         + f12_r[..., None, None] * m1_r
@@ -181,3 +201,23 @@ def herm_evolution(
         + f123_i[..., None, None] * q_r
     )
     return out_r, out_i
+
+
+def herm_evolution(
+    hr: jnp.ndarray,
+    hi: jnp.ndarray,
+    length: jnp.ndarray,
+    phase_dtype=None,
+    h_phase: Pair | None = None,
+) -> Pair:
+    """exp(-i H L) for a Hermitian 3x3 batch, all-real ops (eigensystem +
+    evolution in one call; see the split functions above).
+
+    phase_dtype: dtype for the eigenvalue computation and phase products. For
+    f32 inputs with large phases (atmospheric: λL ~ 1e3 rad) pass float64 —
+    the trig itself runs range-reduced in the matrix dtype either way.
+    h_phase: optional full-precision (hr, hi) pair for the eigenvalue path —
+    required for phase accuracy when hr itself was already rounded to f32.
+    """
+    eig = herm_eigensystem(hr, hi, phase_dtype=phase_dtype, h_phase=h_phase)
+    return evolution_from_eigensystem(eig, length)

@@ -24,7 +24,13 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..core.precision import ATYPE
-from .kernels import c_abs2, c_matmul, herm_evolution
+from .kernels import (
+    c_abs2,
+    c_matmul,
+    evolution_from_eigensystem,
+    herm_eigensystem,
+    herm_evolution,
+)
 from .pmns import hamiltonian_per_km, hamiltonian_real, mass_matrix, pmns_matrix, pmns_matrix_real
 
 
@@ -116,6 +122,8 @@ def probabilities_layered(
     ye: float = 0.5,
     antineutrino: bool = False,
     dtype=ATYPE,
+    rho_unique: jnp.ndarray | None = None,  # [NR] unique densities
+    rho_idx: jnp.ndarray | None = None,  # [..., NL] i32 into rho_unique
 ) -> jnp.ndarray:
     """P[..., NE, alpha, beta] through a layered medium (atmospheric/PREM case;
     CUDAProb3 equivalent). Leading axes of layer_lengths/rho (e.g. zenith bins)
@@ -123,7 +131,32 @@ def probabilities_layered(
 
     Layers are traversed in the given order; zero-length padding contributes
     the identity. The scan is over the (static) layer axis.
+
+    The Hamiltonian and its (f64) eigensystem depend only on (energy,
+    density): they are computed ONCE per unique density — PREM has ~10 shells,
+    so this is ~NZ*NL/NR ≈ 30x fewer Cardano eigensolves than one per
+    (zenith, layer) segment — and gathered per layer. Pass
+    ``rho_unique``/``rho_idx`` precomputed (static config data); when omitted
+    they are derived here, which requires ``layer_rho`` to be concrete (a
+    closed-over constant, not a traced argument).
     """
+    import numpy as np
+
+    if rho_unique is None:
+        # Must read the RAW argument before any jnp op touches it: under a
+        # trace, jnp.asarray of a constant already returns a tracer.
+        try:
+            raw = np.asarray(layer_rho)
+        except Exception as exc:  # traced layer densities
+            raise ValueError(
+                "probabilities_layered: layer_rho is traced; pass the static "
+                "rho_unique/rho_idx (AtmoOscConfig precomputes them)"
+            ) from exc
+        uniq, inverse = np.unique(raw.ravel(), return_inverse=True)
+        rho_unique = jnp.asarray(uniq, ATYPE)
+        rho_idx = jnp.asarray(inverse.reshape(raw.shape).astype(np.int32))
+    n_rho = rho_unique.shape[0]
+
     ur, ui = pmns_matrix_real(
         params.theta12, params.theta13, params.theta23, params.delta_cp, dtype=ATYPE
     )
@@ -133,35 +166,35 @@ def probabilities_layered(
     lead = jnp.broadcast_shapes(layer_lengths.shape[:-1], layer_rho.shape[:-1])
     n_layers = layer_lengths.shape[-1]
     ne = energy.shape[0]
-    batch_shape = lead + (ne,)
-    e_b = jnp.broadcast_to(energy, batch_shape)
+
+    # Eigensystems per unique (density, energy) pair: [NR, NE, ...]
+    hr64, hi64 = hamiltonian_real(
+        ur,
+        ui,
+        params.dm21_sq,
+        params.dm31_sq,
+        jnp.broadcast_to(energy, (n_rho, ne)),
+        rho=jnp.broadcast_to(rho_unique[:, None], (n_rho, ne)),
+        ye=ye,
+        antineutrino=antineutrino,
+    )
+    eig = herm_eigensystem(
+        hr64.astype(dtype), hi64.astype(dtype), phase_dtype=ATYPE,
+        h_phase=(hr64, hi64),
+    )
 
     def step(carry, layer):
-        ll, rr = layer  # each [...]
-        hr64, hi64 = hamiltonian_real(
-            ur,
-            ui,
-            params.dm21_sq,
-            params.dm31_sq,
-            e_b,
-            rho=jnp.broadcast_to(rr[..., None], batch_shape),
-            ye=ye,
-            antineutrino=antineutrino,
-        )
-        op = herm_evolution(
-            hr64.astype(dtype),
-            hi64.astype(dtype),
-            jnp.broadcast_to(ll[..., None], batch_shape).astype(dtype),
-            phase_dtype=ATYPE,
-            h_phase=(hr64, hi64),
-        )
+        ll, ridx = layer  # [...], [...] i32
+        eg = {k: v[ridx] for k, v in eig.items()}  # gather -> [..., NE, ...]
+        op = evolution_from_eigensystem(eg, ll[..., None].astype(ATYPE))
         return c_matmul(op, carry), None
 
+    batch_shape = lead + (ne,)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), batch_shape + (3, 3))
     init = (eye, jnp.zeros_like(eye))
     layers = (
         jnp.moveaxis(jnp.broadcast_to(layer_lengths, lead + (n_layers,)), -1, 0),
-        jnp.moveaxis(jnp.broadcast_to(layer_rho, lead + (n_layers,)), -1, 0),
+        jnp.moveaxis(jnp.broadcast_to(rho_idx, lead + (n_layers,)), -1, 0),
     )
     amp, _ = jax.lax.scan(step, init, layers)
     return jnp.swapaxes(c_abs2(amp), -1, -2)

@@ -192,10 +192,13 @@ def build_atmo_osc_config(
     nz, ne = len(cosz_grid), len(e_grid)
     flat = (inverse.reshape(-1) * nz + z_idx) * ne + e_idx
 
+    rho_u, rho_inv = np.unique(np.asarray(rho_eff).ravel(), return_inverse=True)
     return AtmoOscConfig(
         e_grid=jnp.asarray(e_grid, ATYPE),
         layer_lengths=jnp.asarray(lengths, ATYPE),
         layer_rho=jnp.asarray(rho_eff, ATYPE),
+        rho_unique=jnp.asarray(rho_u, ATYPE),
+        rho_idx=jnp.asarray(rho_inv.reshape(rho_eff.shape).astype(np.int32)),
         event_flat_idx=jnp.asarray(flat, ITYPE),
         chan_alpha=jnp.asarray(alpha, ITYPE),
         chan_beta=jnp.asarray(beta, ITYPE),

@@ -145,6 +145,10 @@ class AtmoOscConfig:
     chan_anti: jnp.ndarray  # [NC] bool
     nc_mask: jnp.ndarray  # [E] bool
     osc_param_idx: jnp.ndarray | None = None  # [6] i32
+    # Unique layer densities + per-segment index: the f64 eigensolve runs once
+    # per (density, energy) pair instead of per (zenith, layer, energy).
+    rho_unique: jnp.ndarray | None = None  # [NR]
+    rho_idx: jnp.ndarray | None = None  # [NZ, NL] i32
     dtype: jnp.dtype = struct.field(pytree_node=False, default=jnp.float32)
 
     def prob_grids(self, params: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -155,10 +159,12 @@ class AtmoOscConfig:
         p_nu = probabilities_layered(
             osc_pars, self.e_grid, self.layer_lengths, self.layer_rho,
             antineutrino=False, dtype=self.dtype,
+            rho_unique=self.rho_unique, rho_idx=self.rho_idx,
         )
         p_bar = probabilities_layered(
             osc_pars, self.e_grid, self.layer_lengths, self.layer_rho,
             antineutrino=True, dtype=self.dtype,
+            rho_unique=self.rho_unique, rho_idx=self.rho_idx,
         )
         return p_nu, p_bar
 

@@ -1,4 +1,5 @@
 """PREM path geometry + atmospheric probability grids."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -76,3 +77,29 @@ def test_matter_resonance_visible_in_core_crossing():
         probabilities_const_density(params, jnp.asarray(e), length=float(lengths[0].sum()))
     )[:, 1, 0]
     assert p_earth.max() > p_vac.max() * 1.3
+
+
+def test_layered_f32_matrices_match_f64_at_large_phase():
+    """Range-reduced trig: f32 layered probabilities stay within ~1e-5 of the
+    all-f64 path even at atmospheric λL ~ 1e3 rad (the f64 trig used to be
+    the dominant TPU cost of the CUDAProb3-class path)."""
+    from mach3_tpu.osc.prem import path_through_earth
+    from mach3_tpu.osc.prob import OscParams, probabilities_layered
+
+    cosz = np.linspace(-1.0, -0.2, 5)
+    lengths, rho, ye = path_through_earth(cosz, production_height_km=15.0)
+    e = jnp.asarray(np.geomspace(0.5, 50.0, 40))
+    p = OscParams.from_array(
+        jnp.asarray([0.307, 0.022, 0.561, -1.601, 7.42e-5, 2.51e-3])
+    )
+    p64 = probabilities_layered(
+        p, e, jnp.asarray(lengths), jnp.asarray(rho * (ye / 0.5)), dtype=jnp.float64
+    )
+    p32 = probabilities_layered(
+        p, e, jnp.asarray(lengths), jnp.asarray(rho * (ye / 0.5)), dtype=jnp.float32
+    )
+    err = float(jnp.max(jnp.abs(p64 - p32.astype(jnp.float64))))
+    assert err < 2e-4, err
+    # unitarity preserved in f32
+    rows = jnp.sum(p32, axis=-1)
+    assert float(jnp.max(jnp.abs(rows - 1.0))) < 1e-4
