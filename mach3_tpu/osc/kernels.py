@@ -11,12 +11,30 @@ import jax.numpy as jnp
 Pair = tuple[jnp.ndarray, jnp.ndarray]
 
 
+def _mm3(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Batched 3x3 matmul as UNROLLED elementwise ops. A batched einsum over
+    [..., 3, 3] lowers each tiny matmul onto a padded 128x128 MXU pass —
+    measured to dominate the layered-oscillation scan; unrolling keeps it on
+    the VPU (27 fused multiply-adds per batch element)."""
+    rows = []
+    for i in range(3):
+        cols = []
+        for k in range(3):
+            cols.append(
+                x[..., i, 0] * y[..., 0, k]
+                + x[..., i, 1] * y[..., 1, k]
+                + x[..., i, 2] * y[..., 2, k]
+            )
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
 def c_matmul(a: Pair, b: Pair) -> Pair:
     """(ar + i ai) @ (br + i bi) on [..., 3, 3] batches."""
     ar, ai = a
     br, bi = b
-    re = jnp.einsum("...ij,...jk->...ik", ar, br) - jnp.einsum("...ij,...jk->...ik", ai, bi)
-    im = jnp.einsum("...ij,...jk->...ik", ar, bi) + jnp.einsum("...ij,...jk->...ik", ai, br)
+    re = _mm3(ar, br) - _mm3(ai, bi)
+    im = _mm3(ar, bi) + _mm3(ai, br)
     return re, im
 
 
