@@ -122,33 +122,33 @@ def make_step_fn(
     n_params = model.n_params
     block_mask = adaption_block_mask(n_params, config.adaption_blocks)
 
-    def propose_fn(theta: jnp.ndarray, key: jax.Array, adaptive: AdaptiveState | None):
-        if adaptive is None:
-            return model.propose(theta, key)
-        # Adaptive throw: one global Cholesky across the concatenated vector,
-        # scaled by the Robbins-Monro global factor. Special proposals
-        # (circular/flip) applied with the whole-vector masks.
-        key_n, key_f = jax.random.split(key)
-        z = jax.random.normal(key_n, (n_params,), dtype=ATYPE)
-        prop = theta + jnp.exp(adaptive.log_scale) * (adaptive.chol @ z)
-        from ..params.state import circular_wrap  # local to avoid cycle
-
-        flat = model._flat()
-        prop = jnp.where(flat.fixed, theta, prop)
-        wrapped = circular_wrap(prop, flat.circ_low, flat.circ_high)
-        prop = jnp.where(flat.circ_mask & ~flat.fixed, wrapped, prop)
-        do_flip = jax.random.uniform(key_f, (n_params,)) < 0.5
-        flipped = 2.0 * flat.flip_point - prop
-        return jnp.where(flat.flip_mask & ~flat.fixed & do_flip, flipped, prop)
-
     def step_fn(state: ChainState):
         key, k_prop, k_acc = jax.random.split(state.key, 3)
         n_chains = state.theta.shape[0]
-        prop_keys = jax.random.split(k_prop, n_chains)
 
-        proposed = jax.vmap(lambda t, k: propose_fn(t, k, state.adaptive))(
-            state.theta, prop_keys
-        )
+        if state.adaptive is None:
+            from ..params.state import propose_step_batch
+
+            proposed = propose_step_batch(model._flat(), state.theta, k_prop)
+        else:
+            # Batched adaptive throw: one normal batch, one Cholesky matmul,
+            # whole-vector wraps/flips (distribution identical to the
+            # per-chain form; RNG stream differs — both are valid chains).
+            from ..params.state import circular_wrap
+
+            key_n, key_f = jax.random.split(k_prop)
+            ad = state.adaptive
+            z = jax.random.normal(key_n, (n_chains, n_params), dtype=ATYPE)
+            prop = state.theta + jnp.exp(ad.log_scale) * (z @ ad.chol.T)
+            flat = model._flat()
+            prop = jnp.where(flat.fixed, state.theta, prop)
+            wrapped = circular_wrap(prop, flat.circ_low, flat.circ_high)
+            prop = jnp.where(flat.circ_mask & ~flat.fixed, wrapped, prop)
+            do_flip = jax.random.uniform(key_f, (n_chains, n_params)) < 0.5
+            flipped = 2.0 * flat.flip_point - prop
+            proposed = jnp.where(
+                flat.flip_mask & ~flat.fixed & do_flip, flipped, prop
+            )
         nll_prop, prior_parts, sample_parts = model.total_nll_batch_parts(
             proposed, want_parts=config.record_breakdown
         )

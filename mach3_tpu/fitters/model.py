@@ -103,12 +103,14 @@ class FitModel:
         # `flat` is None only for FitModels deserialised from old pytrees.
         return self.flat if self.flat is not None else _flatten_priors(self.priors)
 
-    def _block_ids(self) -> jnp.ndarray:
-        """[P] i32 handler id per parameter (static)."""
+    def _block_onehot(self) -> jnp.ndarray:
+        """[H, P] one-hot handler membership (static). Per-block reductions
+        run as a tiny matmul — TPU scatter (segment_sum) lowering is slow."""
         ids = np.concatenate(
             [np.full(size, h, np.int32) for h, (_, size) in enumerate(self.slices)]
         )
-        return jnp.asarray(ids)
+        oh = (ids[None, :] == np.arange(len(self.slices))[:, None]).astype(np.float64)
+        return jnp.asarray(oh)
 
     # ----------------------------------------------------------- proposal
     def propose(self, theta: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
@@ -143,16 +145,13 @@ class FitModel:
         """[H] per-handler prior -logL (``GetLikelihood`` per handler) from
         whole-vector ops + segment sums over the static block ids."""
         flat = self._flat()
-        ids = self._block_ids()
-        n_blocks = len(self.priors)
+        onehot = self._block_onehot()  # [H, P]
         d = jnp.where(flat.flat_prior, 0.0, theta.astype(ATYPE) - flat.prefit)
         contrib = d * (flat.inv_cov @ d)  # block-diag: per-block quad pieces
-        quad = 0.5 * jax.ops.segment_sum(contrib, ids, num_segments=n_blocks)
+        quad = 0.5 * (onehot @ contrib)
         outside = (theta > flat.up_bound) | (theta < flat.low_bound)
-        n_out = jax.ops.segment_sum(
-            outside.astype(jnp.int32), ids, num_segments=n_blocks
-        )
-        return jnp.where(n_out > 0, n_out.astype(ATYPE) * LARGE_LOGL, quad)
+        n_out = onehot @ outside.astype(ATYPE)
+        return jnp.where(n_out > 0.5, n_out * LARGE_LOGL, quad)
 
     def total_nll(self, theta: jnp.ndarray) -> jnp.ndarray:
         """Full -logL with the out-of-bounds short-circuit semantics of

@@ -124,6 +124,29 @@ def propose_step(
     return prop
 
 
+def propose_step_batch(
+    model: PriorModel, current: jnp.ndarray, key: jax.Array
+) -> jnp.ndarray:
+    """Correlated proposals for a CHAIN BATCH: current [C, P] -> [C, P].
+
+    Identical distribution to ``vmap(propose_step)`` but with TWO rng calls
+    total (one normal batch, one uniform batch) instead of per-chain key
+    splits — hundreds of tiny threefry derivations per step measurably cost
+    on TPU — and the Cholesky correlation as ONE [C, K] @ [K, P] matmul.
+    """
+    key_norm, key_flip = jax.random.split(key)
+    c = current.shape[0]
+    z = jax.random.normal(key_norm, (c, model.chol.shape[1]), dtype=ATYPE)
+    prop = current + (z @ model.chol.T) * model.step_scale[None, :]
+
+    wrapped = circular_wrap(prop, model.circ_low, model.circ_high)
+    prop = jnp.where(model.circ_mask & ~model.fixed, wrapped, prop)
+
+    do_flip = jax.random.uniform(key_flip, (c, model.n_params)) < 0.5
+    flipped = 2.0 * model.flip_point - prop
+    return jnp.where(model.flip_mask & ~model.fixed & do_flip, flipped, prop)
+
+
 def prior_logl(model: PriorModel, prop: jnp.ndarray) -> jnp.ndarray:
     """Gaussian prior -logL: 1/2 d^T V^-1 d with flat priors excluded
     (``ParameterHandlerBase.cpp:816-841``). f64 matvec over a small P."""

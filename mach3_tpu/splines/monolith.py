@@ -141,8 +141,13 @@ def is_flat(y_knots: np.ndarray, tol: float = 0.0) -> np.ndarray:
 
 
 def build_dense_table(
-    specs: Sequence[SplineParamSpec], n_events: int
+    specs: Sequence[SplineParamSpec], n_events: int, low_memory: bool = False
 ) -> DenseSplineTable:
+    """``low_memory=True`` stores coefficients in bfloat16 — the analogue of
+    the reference's ``_LOW_MEMORY_STRUCTS_`` float/short build
+    (``Manager/Core.h:27-41``): half the HBM footprint and traffic, native
+    MXU bf16 rate, at ~3 decimal digits of response precision (response
+    errors ~1e-3 relative; fine for scans/studies, NOT for production fits)."""
     knots_x, n_knots = _stack_param_knots(specs)
     kmax = knots_x.shape[1]
     n_params = len(specs)
@@ -160,16 +165,18 @@ def build_dense_table(
         # segment index stays correct.
         if k < kmax:
             coeffs[p, k:, :, :] = coeffs[p, k - 1 : k, :, :]
-    size_mb = coeffs.nbytes / 1e6
+    coeff_dtype = jnp.bfloat16 if low_memory else FTYPE
+    size_mb = coeffs.nbytes / 1e6 / (2 if low_memory else 1)
     _log.info(
-        "Dense spline table: %d params x %d knots x %d events = %.1f MB",
+        "Dense spline table: %d params x %d knots x %d events = %.1f MB%s",
         n_params,
         kmax,
         n_events,
         size_mb,
+        " (bf16 low-memory)" if low_memory else "",
     )
     return DenseSplineTable(
-        coeffs=jnp.asarray(coeffs, FTYPE),
+        coeffs=jnp.asarray(coeffs, coeff_dtype),
         knots_x=jnp.asarray(knots_x, FTYPE),
         n_knots=jnp.asarray(n_knots, ITYPE),
         param_index=jnp.asarray([s.param_index for s in specs], ITYPE),
@@ -247,17 +254,23 @@ _MONOLITH_FORMAT = 1
 def save_table(path: str, table: DenseSplineTable | SparseSplineTable) -> None:
     """Dump a prebuilt spline table so startup can skip coefficient
     construction (reference's preprocessed-monolith file)."""
-    fields = {
-        name: np.asarray(getattr(table, name))
-        for name in (
-            f.name for f in dataclasses.fields(table) if not f.metadata.get("pytree_node") is False
-        )
-    }
+    fields = {}
+    bf16_fields = []
+    for f in dataclasses.fields(table):
+        if f.metadata.get("pytree_node") is False:
+            continue
+        v = getattr(table, f.name)
+        if hasattr(v, "dtype") and "bfloat16" in str(v.dtype):
+            # npz has no bfloat16: store as f32, restore the dtype on load
+            bf16_fields.append(f.name)
+            v = v.astype(jnp.float32)
+        fields[f.name] = np.asarray(v)
     kind = "dense" if isinstance(table, DenseSplineTable) else "sparse"
     np.savez_compressed(
         path,
         __format__=np.int32(_MONOLITH_FORMAT),
         __kind__=np.array(kind),
+        __bf16__=np.array(",".join(bf16_fields)),
         **fields,
     )
     _log.info("Saved %s spline table to %s", kind, path)
@@ -272,11 +285,14 @@ def load_table(path: str) -> DenseSplineTable | SparseSplineTable:
                 f"{path}: spline-table format {fmt} != supported {_MONOLITH_FORMAT}"
             )
         kind = str(f["__kind__"])
+        bf16_fields = set(str(f["__bf16__"]).split(",")) if "__bf16__" in f.files else set()
         arrays = {k: f[k] for k in f.files if not k.startswith("__")}
     cls = DenseSplineTable if kind == "dense" else SparseSplineTable
-    jarrays = {
-        k: jnp.asarray(v, FTYPE if v.dtype.kind == "f" else ITYPE)
-        for k, v in arrays.items()
-    }
+    def _dtype(name, v):
+        if name in bf16_fields:
+            return jnp.bfloat16
+        return FTYPE if v.dtype.kind == "f" else ITYPE
+
+    jarrays = {k: jnp.asarray(v, _dtype(k, v)) for k, v in arrays.items()}
     _log.info("Loaded %s spline table from %s", kind, path)
     return cls(**jarrays)

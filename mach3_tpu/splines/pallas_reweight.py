@@ -133,6 +133,7 @@ def fused_reweight_histogram(
     intermediates put a 4096-event tile past the 16 MB scoped-VMEM limit."""
     c, p, k4 = selector.shape
     e = coeffs.shape[2]
+    selector = selector.astype(coeffs.dtype)
     # Pad C and E to tile multiples; padded events carry weight 0 and bin B
     # (out of range) so they contribute nothing.
     cpad = -c % chain_tile
@@ -365,6 +366,7 @@ def fused_reweight_histogram_shifted(
     (mc [C, B], w2 [C, B]) in f32."""
     c, p, k4 = selector.shape
     e = coeffs.shape[2]
+    selector = selector.astype(coeffs.dtype)
     bp = -(-n_bins // 128) * 128
     has_norm = norm_ext is not None
     cpad = -c % chain_tile
@@ -515,6 +517,7 @@ def fused_reweight_histogram_shared(
     (measured 1.4 ms vs 2.7 ms at CT=8 for 256 chains x 57k events)."""
     c, p, k4 = selector.shape
     e = coeffs.shape[2]
+    selector = selector.astype(coeffs.dtype)
     # Lane-pad the bin axis; the garbage bin (n_bins) lands inside the padded
     # region's first slot and is sliced off with the rest of the padding.
     n_bins_padded = -(-(n_bins + 1) // 128) * 128

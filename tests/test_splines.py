@@ -282,3 +282,32 @@ def test_tf1_in_sample_model_batched():
     thetas = jnp.tile(theta[None, :], (3, 1))
     mcb, w2b = s_tf1.reweight_batch(thetas)
     np.testing.assert_allclose(np.asarray(mcb[0]), np.asarray(mc1), rtol=1e-5)
+
+
+def test_low_memory_bf16_table():
+    """bf16 dense table (the reference _LOW_MEMORY_STRUCTS_ analogue,
+    ``Manager/Core.h:27-41``): responses within ~1e-2 of f32, round-trips
+    through save/load."""
+    rng = np.random.default_rng(3)
+    n_events = 200
+    spec = SplineParamSpec(
+        name="p0", param_index=0,
+        x_knots=np.array([-2.0, -1.0, 0.0, 1.0, 2.0]),
+        event_ids=np.arange(n_events),
+        y_knots=1.0 + 0.1 * rng.normal(size=(n_events, 5)).cumsum(axis=1),
+    )
+    t32 = build_dense_table([spec], n_events)
+    t16 = build_dense_table([spec], n_events, low_memory=True)
+    assert t16.coeffs.dtype == jnp.bfloat16
+    params = jnp.asarray([0.37])
+    r32 = np.asarray(eval_dense(t32, params), np.float64)
+    r16 = np.asarray(eval_dense(t16, params).astype(jnp.float32), np.float64)
+    np.testing.assert_allclose(r16, r32, rtol=2e-2, atol=2e-2)
+
+    import tempfile, os
+    from mach3_tpu.splines.monolith import load_table, save_table
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t16.npz")
+        save_table(path, t16)
+        back = load_table(path)
+        assert back.coeffs.dtype == jnp.bfloat16
