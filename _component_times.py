@@ -1,5 +1,3 @@
-"""Component timing at 256 chains x 100k events on the real TPU.
-Each component is timed inside a lax.scan of 30 iterations (dispatch-free)."""
 import os, time, json
 if os.environ.get("JAX_PLATFORMS") and "cpu" not in os.environ["JAX_PLATFORMS"]:
     os.environ["JAX_PLATFORMS"] = os.environ["JAX_PLATFORMS"] + ",cpu"
@@ -17,29 +15,19 @@ theta0 = np.asarray(model.prefit_vector())
 thetas = jnp.asarray(np.tile(theta0, (C, 1)) + 1e-3*np.random.default_rng(0).normal(size=(C, len(theta0))))
 
 def scan_time(name, fn, *args, iters=30):
-    """fn(*args) -> pytree; time it inside a scan with a dependency chain."""
     def body(carry, _):
         out = fn(*args)
-        # tie a scalar through the carry so iterations cannot collapse
         leaf = jax.tree_util.tree_leaves(out)[0]
         return carry + jnp.sum(leaf).astype(jnp.float32) * 0, None
-    f = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0), None, length=iters)[0])
-    f()  # compile
-    jax.block_until_ready(f())
-    t0 = time.perf_counter(); jax.block_until_ready(f()); dt = time.perf_counter() - t0
+    g = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0), None, length=iters)[0])
+    g(); jax.block_until_ready(g())
+    t0 = time.perf_counter(); jax.block_until_ready(g()); dt = time.perf_counter() - t0
     print(json.dumps({"component": name, "ms": round(1e3*dt/iters, 3)}), flush=True)
 
 keys = jax.random.split(jax.random.key(0), C)
 scan_time("propose", jax.vmap(model.propose), thetas, keys)
 scan_time("prior_nll", jax.vmap(model.prior_nll), thetas)
-scan_time("total_nll_batch (full)", model.total_nll_batch, thetas)
-
-s0 = model.samples[0]
-# osc grids once (shared path)
-sig_fn = getattr(model, "_shared_osc_grids_batch", None)
+scan_time("total_nll (full)", model.total_nll_batch, thetas)
 for i, s in enumerate(model.samples):
     scan_time(f"osc_grids[{i}]", jax.vmap(s.osc_prob_grids), thetas)
-    scan_time(f"norm_w[{i}]", jax.vmap(s._norm_weights), thetas)
-    scan_time(f"bins[{i}]", jax.vmap(lambda t, s=s: s.binning.find_bins(s._shifted_kinematics(t))), thetas)
-    scan_time(f"reweight_batch[{i}]", s.reweight_batch, thetas)
-    scan_time(f"llh_batch[{i}]", s.log_likelihood_batch, thetas)
+    scan_time(f"reweight[{i}]", s.reweight_batch, thetas)
