@@ -28,7 +28,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.precision import ATYPE, LARGE_LOGL
-from .mcmc import MCMCConfig, MR2T2, ChainState
+from .mcmc import (
+    MCMCConfig,
+    MR2T2,
+    ChainState,
+    _update_adaptive,
+    adaption_block_mask,
+    adaptive_propose,
+)
 from .model import FitModel
 
 
@@ -41,6 +48,8 @@ class DelayedConfig(MCMCConfig):
 
 
 def make_delayed_step_fn(model: FitModel, config: DelayedConfig):
+    block_mask = adaption_block_mask(model.n_params, config.adaption_blocks)
+
     def nll_fn(theta):
         return model.total_nll(theta)
 
@@ -53,7 +62,8 @@ def make_delayed_step_fn(model: FitModel, config: DelayedConfig):
         for prior, (start, size), k in zip(model.priors, model.slices, keys):
             cur = jax.lax.dynamic_slice(theta, (start,), (size,))
             kn, kf = jax.random.split(k)
-            z = jax.random.normal(kn, (size,), ATYPE)
+            # z follows the throw-factor columns (rectangular under PCA).
+            z = jax.random.normal(kn, (prior.chol.shape[1],), ATYPE)
             prop = cur + (prior.chol @ z) * prior.step_scale * scale
             wrapped = circular_wrap(prop, prior.circ_low, prior.circ_high)
             prop = jnp.where(prior.circ_mask & ~prior.fixed, wrapped, prop)
@@ -82,8 +92,18 @@ def make_delayed_step_fn(model: FitModel, config: DelayedConfig):
         scale = config.initial_scale
         for attempt in range(config.max_rejections + 1):
             key, k_prop, k_u, k_delay = jax.random.split(key, 4)
-            prop_keys = jax.random.split(k_prop, n_chains)
-            proposed = jax.vmap(lambda t, k: scaled_propose(t, k, scale))(base, prop_keys)
+            if state.adaptive is not None:
+                # Throw from the ADAPTED matrix — the reference keeps
+                # adaptation in the parameter handler so delayed rejection
+                # uses it too (``ParameterHandlerBase.cpp:652-684``).
+                proposed = adaptive_propose(
+                    model._flat(), state.adaptive, base, k_prop, extra_scale=scale
+                )
+            else:
+                prop_keys = jax.random.split(k_prop, n_chains)
+                proposed = jax.vmap(lambda t, k: scaled_propose(t, k, scale))(
+                    base, prop_keys
+                )
             nll_prop = jax.vmap(nll_fn)(proposed)
             oob = nll_prop >= LARGE_LOGL
             # Skip condition from the reference: OOB or worse than the best
@@ -124,14 +144,23 @@ def make_delayed_step_fn(model: FitModel, config: DelayedConfig):
             min_nll = jnp.where(accepted, min_nll, jnp.minimum(min_nll, nll_prop))
             scale = scale * config.decay_rate
 
+        new_step = state.step + 1
+        adaptive = state.adaptive
+        if adaptive is not None:
+            # Moments/RM-scale update from the step's OUTCOME, exactly as the
+            # plain MR2T2 post-step does (``MCMCBase::PostStepProcess``).
+            adaptive = _update_adaptive(
+                adaptive, theta_acc, new_step, config, first_acc_prob, block_mask
+            )
+
         out_state = ChainState(
             theta=theta_acc,
             nll=nll_acc,
             key=key,
-            step=state.step + 1,
+            step=new_step,
             n_accepted=state.n_accepted
             + (jnp.any(theta_acc != theta0, axis=1)).astype(jnp.int32),
-            adaptive=state.adaptive,
+            adaptive=adaptive,
         )
         outputs = {
             "theta": theta_acc,

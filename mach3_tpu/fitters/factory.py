@@ -54,12 +54,30 @@ def make_parameter_set(
     name: str = "params",
     fixed: Sequence[str] = (),
     step_scale: float | None = None,
+    pca_threshold: float | None = None,
+    pca_params: tuple[int, int] | None = None,
 ) -> ParameterSet:
+    """Covariance factory (``MaCh3CovarianceFactory``, ``MaCh3Factory.h:69-120``).
+
+    PCA follows the reference config surface: ``PCAThreshold`` (absent/-1 =
+    off) and ``PCAParams: [first, last]`` (-999 = full range,
+    ``MaCh3Factory.h:80-85``) — read from the YAML unless given explicitly.
+    """
     ps = ParameterSet.from_config(cfg, name=name)
     for pname in fixed:
         ps.fix_parameter(pname)
     if step_scale is not None:
         ps.global_step_scale = step_scale
+    if pca_threshold is None:
+        raw = cfg.get("PCAThreshold", -1)
+        pca_threshold = float(raw) if raw is not None else -1.0
+    if pca_params is None:
+        raw = cfg.get("PCAParams", [-999, -999]) or [-999, -999]
+        pca_params = (int(raw[0]), int(raw[1]))
+    if pca_threshold > 0:
+        first = 0 if pca_params[0] == -999 else pca_params[0]
+        last = None if pca_params[1] == -999 else pca_params[1]
+        ps.construct_pca(pca_threshold, first=first, last=last)
     return ps
 
 
@@ -71,6 +89,7 @@ def _mcmc_config(cfg: Config) -> MCMCConfig:
         chunk_size=int(g.get("AutoSave", 500)),
         anneal_temp=g.get("AnnealTemp", None),
         adaptive=bool(cfg.get("AdaptionOptions.Covariance", {}) or adaption),
+        adaption_mode=str(adaption.get("Mode", "pooled")),
         adaption_start_throw=int(adaption.get("StartThrow", 1000)),
         adaption_start_update=int(adaption.get("StartUpdate", 100)),
         adaption_end_update=int(adaption.get("EndUpdate", 1_000_000)),

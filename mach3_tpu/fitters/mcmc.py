@@ -36,17 +36,33 @@ _log = get_logger("mcmc")
 
 @struct.dataclass
 class AdaptiveState:
-    """Running moments for Haario adaptive covariance (pooled across chains).
+    """Running moments for Haario adaptive covariance.
 
-    mean/cov follow the recursion of ``AdaptiveMCMCHandler::UpdateAdaptiveCovariance``;
-    ``chol`` is refreshed every ``update_step`` steps from the scaled covariance.
+    Two modes (``MCMCConfig.adaption_mode``):
+
+    * ``"pooled"`` — one set of moments shared by all chains (mean [P],
+      cov/chol [P, P], log_scale scalar): each step contributes the
+      chain-averaged outer products. A cross-chain capability the
+      single-chain reference cannot have.
+    * ``"per_chain"`` — the reference semantics
+      (``AdaptiveMCMCHandler.cpp:332-400``): every chain carries its own
+      moments (mean [C, P], cov/chol [C, P, P], log_scale [C]) and follows
+      the single-chain Haario recursion exactly.
+
+    ``chol`` is refreshed every ``update_step`` steps from the scaled
+    covariance; ``log_scale`` is the Robbins-Monro global scale.
     """
 
-    mean: jnp.ndarray  # [P]
-    cov: jnp.ndarray  # [P, P]
-    chol: jnp.ndarray  # [P, P] current throw matrix (replaces PriorModel.chol)
+    mean: jnp.ndarray  # [P] pooled | [C, P] per-chain
+    cov: jnp.ndarray  # [P, P] | [C, P, P]
+    chol: jnp.ndarray  # current throw matrix (replaces PriorModel.chol)
     n_updates: jnp.ndarray  # i32 — steps accumulated into the moments
     log_scale: jnp.ndarray  # Robbins-Monro global scale (log), target-acceptance tuned
+
+    @property
+    def per_chain(self) -> bool:
+        """Static mode discriminator (array ranks are trace-time constants)."""
+        return self.cov.ndim == 3
 
 
 @struct.dataclass
@@ -68,6 +84,9 @@ class MCMCConfig:
     anneal_temp: float | None = None  # simulated annealing temperature (MCMCBase.cpp:19-26)
     # Adaptive covariance (AdaptiveMCMCHandler.cpp:68-98 config keys)
     adaptive: bool = False
+    # "pooled" (cross-chain moments, TPU-native generalisation) or
+    # "per_chain" (the reference's single-chain Haario recursion per chain).
+    adaption_mode: str = "pooled"
     adaption_start_throw: int = 1000  # start throwing with the adapted matrix
     adaption_start_update: int = 100  # start accumulating moments
     adaption_end_update: int = 1_000_000
@@ -115,6 +134,39 @@ def adaption_block_mask(n_params: int, blocks) -> jnp.ndarray | None:
     return jnp.asarray((ids[:, None] == ids[None, :]).astype(np.float64))
 
 
+def adaptive_propose(
+    flat, ad: AdaptiveState, theta: jnp.ndarray, key: jax.Array,
+    extra_scale: float = 1.0,
+) -> jnp.ndarray:
+    """Batched adaptive throw from the adapted matrix, shared by every fitter
+    (the reference keeps adaptation in the parameter handler so all fitters
+    see it, ``ParameterHandlerBase.cpp:652-684``): one normal batch, one
+    Cholesky contraction, whole-vector wraps/flips. ``extra_scale`` is the
+    delayed-rejection cascade's shrink factor (1.0 for plain MR2T2).
+
+    theta [C, P] -> proposed [C, P]. Pooled mode uses the shared [P, P]
+    matrix; per-chain mode contracts each chain with its own [P, P] factor.
+    """
+    from ..params.state import circular_wrap
+
+    n_chains, n_params = theta.shape
+    key_n, key_f = jax.random.split(key)
+    z = jax.random.normal(key_n, (n_chains, n_params), dtype=ATYPE)
+    if ad.per_chain:
+        delta = jnp.einsum("cij,cj->ci", ad.chol, z)
+        scale = jnp.exp(ad.log_scale)[:, None] * extra_scale
+    else:
+        delta = z @ ad.chol.T
+        scale = jnp.exp(ad.log_scale) * extra_scale
+    prop = theta + scale * delta
+    prop = jnp.where(flat.fixed, theta, prop)
+    wrapped = circular_wrap(prop, flat.circ_low, flat.circ_high)
+    prop = jnp.where(flat.circ_mask & ~flat.fixed, wrapped, prop)
+    do_flip = jax.random.uniform(key_f, (n_chains, n_params)) < 0.5
+    flipped = 2.0 * flat.flip_point - prop
+    return jnp.where(flat.flip_mask & ~flat.fixed & do_flip, flipped, prop)
+
+
 def make_step_fn(
     model: FitModel, config: MCMCConfig
 ) -> Callable[[ChainState], tuple[ChainState, dict[str, jnp.ndarray]]]:
@@ -131,23 +183,8 @@ def make_step_fn(
 
             proposed = propose_step_batch(model._flat(), state.theta, k_prop)
         else:
-            # Batched adaptive throw: one normal batch, one Cholesky matmul,
-            # whole-vector wraps/flips (distribution identical to the
-            # per-chain form; RNG stream differs — both are valid chains).
-            from ..params.state import circular_wrap
-
-            key_n, key_f = jax.random.split(k_prop)
-            ad = state.adaptive
-            z = jax.random.normal(key_n, (n_chains, n_params), dtype=ATYPE)
-            prop = state.theta + jnp.exp(ad.log_scale) * (z @ ad.chol.T)
-            flat = model._flat()
-            prop = jnp.where(flat.fixed, state.theta, prop)
-            wrapped = circular_wrap(prop, flat.circ_low, flat.circ_high)
-            prop = jnp.where(flat.circ_mask & ~flat.fixed, wrapped, prop)
-            do_flip = jax.random.uniform(key_f, (n_chains, n_params)) < 0.5
-            flipped = 2.0 * flat.flip_point - prop
-            proposed = jnp.where(
-                flat.flip_mask & ~flat.fixed & do_flip, flipped, prop
+            proposed = adaptive_propose(
+                model._flat(), state.adaptive, state.theta, k_prop
             )
         nll_prop, prior_parts, sample_parts = model.total_nll_batch_parts(
             proposed, want_parts=config.record_breakdown
@@ -173,7 +210,7 @@ def make_step_fn(
         adaptive = state.adaptive
         if adaptive is not None:
             adaptive = _update_adaptive(
-                adaptive, theta, step, config, jnp.mean(acc_prob), block_mask
+                adaptive, theta, step, config, acc_prob, block_mask
             )
 
         new_state = ChainState(
@@ -201,31 +238,50 @@ def make_step_fn(
     return step_fn
 
 
+def _moment_update(
+    mean: jnp.ndarray, cov: jnp.ndarray, n: jnp.ndarray,
+    x: jnp.ndarray, xxt: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One Haario recursion step (``AdaptiveMCMCHandler.cpp:332-400``):
+    mean/cov [P]/[P, P] updated with one sample x (outer product xxt)."""
+    new_mean = (x + mean * n) / (n + 1.0)
+    # cov_t = cov*(n-1)/n + (n*m_prev m_prev^T - (n+1)*m m^T + x x^T)/n, n>0
+    safe_n = jnp.maximum(n, 1.0)
+    cov_updated = cov * (safe_n - 1.0) / safe_n + (
+        n * jnp.outer(mean, mean)
+        - (n + 1.0) * jnp.outer(new_mean, new_mean)
+        + xxt
+    ) / safe_n
+    new_cov = jnp.where(n > 0, cov_updated, cov)
+    return new_mean, new_cov
+
+
 def _update_adaptive(
     ad: AdaptiveState,
     theta: jnp.ndarray,
     step: jnp.ndarray,
     config: MCMCConfig,
-    mean_acc_prob: jnp.ndarray,
+    acc_prob: jnp.ndarray,
     block_mask: jnp.ndarray | None = None,
 ) -> AdaptiveState:
-    """Haario moment update pooled over the chain batch
-    (``AdaptiveMCMCHandler.cpp:332-400``, generalised: each step contributes the
-    chain-averaged outer products, i.e. C samples at once)."""
-    in_window = (step >= config.adaption_start_update) & (step <= config.adaption_end_update)
-    x = jnp.mean(theta.astype(ATYPE), axis=0)  # pooled "current value" [P]
-    xxt = jnp.einsum("ci,cj->ij", theta.astype(ATYPE), theta.astype(ATYPE)) / theta.shape[0]
+    """Haario moment update, pooled or per-chain (see :class:`AdaptiveState`).
 
+    Pooled generalises ``AdaptiveMCMCHandler.cpp:332-400``: each step
+    contributes the chain-averaged outer products (C samples at once).
+    Per-chain runs the reference recursion independently per chain.
+    """
+    in_window = (step >= config.adaption_start_update) & (step <= config.adaption_end_update)
+    th = theta.astype(ATYPE)
     n = ad.n_updates.astype(ATYPE)
-    new_mean = (x + ad.mean * n) / (n + 1.0)
-    # cov_t = cov*(n-1)/n + (n*m_prev m_prev^T - (n+1)*m m^T + x x^T)/n, n>0
-    safe_n = jnp.maximum(n, 1.0)
-    cov_updated = ad.cov * (safe_n - 1.0) / safe_n + (
-        n * jnp.outer(ad.mean, ad.mean)
-        - (n + 1.0) * jnp.outer(new_mean, new_mean)
-        + xxt
-    ) / safe_n
-    new_cov = jnp.where(n > 0, cov_updated, ad.cov)
+    if ad.per_chain:
+        xxt = jnp.einsum("ci,cj->cij", th, th)
+        new_mean, new_cov = jax.vmap(_moment_update, in_axes=(0, 0, None, 0, 0))(
+            ad.mean, ad.cov, n, th, xxt
+        )
+    else:
+        x = jnp.mean(th, axis=0)  # pooled "current value" [P]
+        xxt = jnp.einsum("ci,cj->ij", th, th) / th.shape[0]
+        new_mean, new_cov = _moment_update(ad.mean, ad.cov, n, x, xxt)
     if block_mask is not None:
         # Independent adaption blocks: cross-block entries never learned
         # (``SetAdaptiveBlocks``, ``AdaptiveMCMCHandler.cpp:152-190``).
@@ -242,18 +298,22 @@ def _update_adaptive(
         (step >= config.adaption_start_throw)
         & ((step - config.adaption_start_throw) % config.adaption_update_step == 0)
     )
+    chol_fn = jax.vmap(_masked_cholesky) if ad.per_chain else _masked_cholesky
     chol = jax.lax.cond(
         refresh,
-        lambda: _masked_cholesky(cov * scale),
+        lambda: chol_fn(cov * scale),
         lambda: ad.chol,
     )
 
     # Robbins-Monro global-scale update towards the target acceptance rate
-    # (stochastic approximation: log s += gamma_t (acc - target)).
+    # (stochastic approximation: log s += gamma_t (acc - target)); pooled
+    # tunes one shared scale from the mean acceptance, per-chain tunes each
+    # chain's scale from its own acceptance probability.
     if config.robbins_monro:
         t = jnp.maximum(step.astype(ATYPE), 1.0)
         gamma = 2.0 / t**0.66
-        log_scale = ad.log_scale + gamma * (mean_acc_prob - config.target_accept)
+        acc = acc_prob if ad.per_chain else jnp.mean(acc_prob)
+        log_scale = ad.log_scale + gamma * (acc - config.target_accept)
         log_scale = jnp.clip(log_scale, -8.0, 4.0)
     else:
         log_scale = ad.log_scale
@@ -284,6 +344,15 @@ class MR2T2:
         self._run_chunk = jax.jit(run_chunk, static_argnums=1)
 
         adaptive = None
+        if config.adaptive and any(
+            p.chol.shape[0] != p.chol.shape[1] for p in model.priors
+        ):
+            raise ValueError(
+                "Adaptive covariance on a PCA-reduced proposal basis is not "
+                "supported: adaptation learns in full parameter space and "
+                "would re-introduce the dropped directions. Use PCA or "
+                "adaptive, not both."
+            )
         if config.adaptive:
             # Seed the moments with the prior covariance scaled like the
             # initial throw matrix (reference initial_throw_matrix); the
@@ -292,15 +361,28 @@ class MR2T2:
             scale0 = (
                 config.target_scale if config.target_scale is not None else 5.6644 / n_params
             )
-            adaptive = AdaptiveState(
-                mean=jnp.zeros((n_params,), ATYPE),
-                cov=jnp.asarray(cov0, ATYPE),
-                chol=jnp.asarray(
-                    np.linalg.cholesky(scale0 * cov0 + 1e-12 * np.eye(n_params)), ATYPE
-                ),
-                n_updates=jnp.asarray(0, jnp.int32),
-                log_scale=jnp.asarray(0.0, ATYPE),
-            )
+            chol0 = np.linalg.cholesky(scale0 * cov0 + 1e-12 * np.eye(n_params))
+            if config.adaption_mode == "per_chain":
+                adaptive = AdaptiveState(
+                    mean=jnp.zeros((n_chains, n_params), ATYPE),
+                    cov=jnp.tile(jnp.asarray(cov0, ATYPE), (n_chains, 1, 1)),
+                    chol=jnp.tile(jnp.asarray(chol0, ATYPE), (n_chains, 1, 1)),
+                    n_updates=jnp.asarray(0, jnp.int32),
+                    log_scale=jnp.zeros((n_chains,), ATYPE),
+                )
+            elif config.adaption_mode == "pooled":
+                adaptive = AdaptiveState(
+                    mean=jnp.zeros((n_params,), ATYPE),
+                    cov=jnp.asarray(cov0, ATYPE),
+                    chol=jnp.asarray(chol0, ATYPE),
+                    n_updates=jnp.asarray(0, jnp.int32),
+                    log_scale=jnp.asarray(0.0, ATYPE),
+                )
+            else:
+                raise ValueError(
+                    f"adaption_mode must be 'pooled' or 'per_chain', got "
+                    f"{config.adaption_mode!r}"
+                )
 
         theta0 = jnp.asarray(init_theta, ATYPE)
         nll0 = jax.jit(model.total_nll_batch)(theta0)

