@@ -222,12 +222,17 @@ def build_sample_model(
     shifts: Sequence[ShiftSpec] = (),
     data: np.ndarray | None = None,
     test_statistic: TestStatistic = TestStatistic.BARLOW_BEESTON,
-    use_pallas: bool = False,
+    use_pallas: bool | str = "auto",
 ) -> SampleModel:
     """Assemble the static SampleModel arrays.
 
     var_order fixes the row layout of the kinematics matrix; binning_vars and
     ShiftSpec.var_row refer to rows of that matrix.
+
+    use_pallas: ``"auto"`` (default) routes to the fused Pallas kernel when on
+    TPU and statically feasible (``routing.choose_kernel_route``); ``True``
+    prefers Pallas on any backend but still falls back when infeasible;
+    ``False`` forces the XLA path.
     """
     var_index = {v: i for i, v in enumerate(var_order)}
     kin = np.stack([np.asarray(events.kinematics[v], np.float32) for v in var_order])
@@ -305,6 +310,19 @@ def build_sample_model(
             )
             shift_static_base = jnp.asarray(static_base, ITYPE)
 
+    from .routing import choose_kernel_route
+
+    route = choose_kernel_route(
+        binning.n_bins,
+        spline_table,
+        has_static_bins=static_bins is not None,
+        has_kernel_shift=kernel_shift is not None,
+        n_norm_in_kernel=(n_total_params + 1)
+        if (norm_s is not None and kernel_shift is not None)
+        else 0,
+        requested=use_pallas,
+    )
+
     return SampleModel(
         name=name,
         kin=jnp.asarray(kin, FTYPE),
@@ -319,7 +337,8 @@ def build_sample_model(
         osc=osc,
         shifts=tuple(shifts),
         test_statistic=test_statistic,
-        use_pallas=use_pallas,
+        use_pallas=route.use_pallas,
+        kernel_route=route,
         static_bins=static_bins,
         kernel_shift=kernel_shift,
         shift_static_base=shift_static_base,

@@ -185,7 +185,7 @@ def _tf1_table(path: str, metas, events: EventData, param_index: Mapping[str, in
     return build_tf1_table(specs, events.n_events)
 
 
-def build_experiment(cfg: Config, use_pallas: bool = False) -> Experiment:
+def build_experiment(cfg: Config, use_pallas: bool | str = "auto") -> Experiment:
     """Build the full fit model from an ``Experiment`` config tree."""
     exp = cfg.sub("Experiment") if cfg.has("Experiment") else cfg
 

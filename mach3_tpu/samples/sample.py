@@ -230,6 +230,10 @@ class SampleModel:
     # Route chain-batched reweights through the fused Pallas kernel
     # (splines/pallas_reweight.py). TPU-only; requires a dense spline table.
     use_pallas: bool = struct.field(pytree_node=False, default=False)
+    # Static routing decision (variant + tile sizes) made once at build time
+    # by samples/routing.py from n_bins/P/VMEM estimates; None keeps the
+    # kernels' built-in default tiles.
+    kernel_route: Any = struct.field(pytree_node=False, default=None)
     # Precomputed event->bin map [E] when no functional shift touches a binned
     # axis: bins are then proposal-independent, find_bins vanishes from the
     # step, and the fused kernel takes the shared-bins fast path.
@@ -379,9 +383,16 @@ class SampleModel:
         coeffs = table.coeffs.reshape(
             table.coeffs.shape[0], -1, table.coeffs.shape[3]
         )
+        tiles = {}
+        if self.kernel_route is not None and self.kernel_route.use_pallas:
+            tiles = dict(
+                chain_tile=self.kernel_route.chain_tile,
+                event_tile=self.kernel_route.event_tile,
+            )
         if self.static_bins is not None:
             return fused_reweight_histogram_shared(
-                selector, coeffs, base_w, self.static_bins, n_bins=self.n_bins
+                selector, coeffs, base_w, self.static_bins, n_bins=self.n_bins,
+                **tiles,
             )
         if self.kernel_shift is not None:
             from ..splines.pallas_reweight import fused_reweight_histogram_shifted
@@ -409,12 +420,13 @@ class SampleModel:
                 stride_j=stride_j,
                 n_axis_j=n_axis_j,
                 **norm_kwargs,
+                **tiles,
             )
         bins = jax.vmap(
             lambda t: self.binning.find_bins(self._shifted_kinematics(t))
         )(thetas)
         return fused_reweight_histogram(
-            selector, coeffs, base_w, bins, n_bins=self.n_bins
+            selector, coeffs, base_w, bins, n_bins=self.n_bins, **tiles
         )
 
     def log_likelihood_batch(
@@ -444,15 +456,31 @@ class SampleModel:
     def with_binning(self, binning) -> "SampleModel":
         """Swap the binning, recomputing the static event->bin map (use this
         instead of ``replace(binning=...)`` which would keep a stale map)."""
+        from .routing import choose_kernel_route
+
         static_bins = None
         if not self.shifts:
             static_bins = binning.find_bins(self.kin)
+        requested = (
+            self.kernel_route.requested
+            if self.kernel_route is not None
+            else self.use_pallas
+        )
+        route = choose_kernel_route(
+            binning.n_bins,
+            self.spline_table,
+            has_static_bins=static_bins is not None,
+            has_kernel_shift=False,
+            requested=requested,
+        )
         return self.replace(
             binning=binning,
             static_bins=static_bins,
             kernel_shift=None,  # conservative: rebuilt only by build_sample_model
             shift_static_base=None,
             data=jnp.zeros((binning.n_bins,), ATYPE),
+            use_pallas=route.use_pallas,
+            kernel_route=route,
         )
 
     def asimov_data(self, params: jnp.ndarray) -> jnp.ndarray:

@@ -231,7 +231,7 @@ def build_toy(
     test_statistic: TestStatistic = TestStatistic.BARLOW_BEESTON,
     flip_hierarchy: bool = False,
     e_grid_size: int = 200,
-    use_pallas: bool = False,
+    use_pallas: bool | str = "auto",
 ) -> ToyExperiment:
     rng = np.random.default_rng(seed)
     xsec = ParameterSet.from_config(Config(xsec_config()), name="xsec")
