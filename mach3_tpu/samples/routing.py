@@ -28,6 +28,13 @@ MAX_PALLAS_BINS = 4096
 #: Mask-reduce variants unroll one mask + two reductions PER BIN: past a few
 #: hundred bins compile time and code size explode.
 MAX_MASKREDUCE_BINS = 512
+#: Past this many spline params, the unrolled per-param dot chain is replaced
+#: by the param-blocked kernel (shared variant) or the XLA path (the
+#: mask-reduce variants, which have no blocked formulation yet).
+MAX_UNROLL_PARAMS = 16
+#: Param-tile of the blocked kernel: one [PT, K4, ET] coefficient block is
+#: streamed through VMEM per grid step.
+PARAM_TILE = 8
 #: Below this event tile the grid overhead dominates any fusion win.
 MIN_EVENT_TILE = 256
 _F32 = 4
@@ -41,16 +48,30 @@ class KernelRoute:
     variant: str  # "shared" | "shifted" | "generic" | "xla"
     chain_tile: int = 16
     event_tile: int = 2048
+    # Param-blocked kernel (shared variant only): stream [param_tile]-sized
+    # coefficient blocks instead of unrolling all P params. None = unrolled.
+    param_tile: int | None = None
     reason: str = ""
     # The caller's original request, kept so a binning swap can re-route.
     requested: object = "auto"
 
 
 def _vmem_bytes(variant: str, p: int, k4: int, ct: int, et: int, bp: int,
-                n_norm: int = 0) -> int:
-    """Static VMEM estimate for one (chain_tile, event_tile) kernel block."""
-    coeffs = p * k4 * et
-    selector = ct * p * k4
+                n_norm: int = 0, pt: int | None = None) -> int:
+    """Static VMEM estimate for one (chain_tile, event_tile) kernel block.
+
+    pt (param-blocked shared variant): only a double-buffered [PT, K4, ET]
+    coefficient block plus a [CT, ET] product scratch are resident, not the
+    whole [P, K4, ET] block.
+    """
+    if pt is not None:
+        coeffs = 2 * pt * k4 * et  # double-buffered stream
+        selector = ct * pt * k4
+        scratch = ct * et
+    else:
+        coeffs = p * k4 * et
+        selector = ct * p * k4
+        scratch = 0
     base = ct * et
     out = 2 * ct * bp
     if variant == "shared":
@@ -61,7 +82,7 @@ def _vmem_bytes(variant: str, p: int, k4: int, ct: int, et: int, bp: int,
         extra = 4 * ct * et + 2 * ct * (n_norm + 1) + (n_norm + 1) * et
     else:  # generic mask-reduce: bins [CT, ET] + w2 + mask temporaries
         extra = 4 * ct * et
-    return _F32 * (coeffs + selector + base + out + extra)
+    return _F32 * (coeffs + selector + scratch + base + out + extra)
 
 
 def _pad128(n: int) -> int:
@@ -109,8 +130,11 @@ def choose_kernel_route(
     p = int(spline_table.n_spline_params)
     k4 = int(spline_table.knots_x.shape[1]) * 4
 
+    pt = None
     if has_static_bins:
         variant, ct, bp = "shared", 64, _pad128(n_bins + 1)
+        if p > MAX_UNROLL_PARAMS:
+            pt = PARAM_TILE  # reference-scale P: stream coefficient blocks
     elif has_kernel_shift:
         variant, ct, bp = "shifted", 16, _pad128(n_bins)
         if n_bins > MAX_MASKREDUCE_BINS:
@@ -118,6 +142,12 @@ def choose_kernel_route(
                 requested,
                 f"n_bins={n_bins} > {MAX_MASKREDUCE_BINS} for the unrolled "
                 "mask-reduce (shifted) variant",
+            )
+        if p > MAX_UNROLL_PARAMS:
+            return _fallback(
+                requested,
+                f"P={p} > {MAX_UNROLL_PARAMS} spline params for the unrolled "
+                "shifted variant (no blocked formulation)",
             )
     else:
         variant, ct, bp = "generic", 16, _pad128(n_bins)
@@ -127,11 +157,17 @@ def choose_kernel_route(
                 f"n_bins={n_bins} > {MAX_MASKREDUCE_BINS} for the unrolled "
                 "mask-reduce (generic, per-chain bins) variant",
             )
+        if p > MAX_UNROLL_PARAMS:
+            return _fallback(
+                requested,
+                f"P={p} > {MAX_UNROLL_PARAMS} spline params for the unrolled "
+                "generic variant (no blocked formulation)",
+            )
 
     # Shrink the event tile until the block fits the VMEM budget.
     et = 4096 if variant == "shared" else 2048
     while et >= MIN_EVENT_TILE and _vmem_bytes(
-        variant, p, k4, ct, et, bp, n_norm_in_kernel
+        variant, p, k4, ct, et, bp, n_norm_in_kernel, pt
     ) > VMEM_BUDGET:
         et //= 2
     if et < MIN_EVENT_TILE:
@@ -141,9 +177,10 @@ def choose_kernel_route(
             f"(P={p}, K4={k4}, bins={n_bins})",
         )
     route = KernelRoute(
-        True, variant, chain_tile=ct, event_tile=et,
+        True, variant, chain_tile=ct, event_tile=et, param_tile=pt,
         reason=f"P={p}, K4={k4}, bins={n_bins}, "
-        f"vmem~{_vmem_bytes(variant, p, k4, ct, et, bp, n_norm_in_kernel) >> 20} MB",
+        f"vmem~{_vmem_bytes(variant, p, k4, ct, et, bp, n_norm_in_kernel, pt) >> 20} MB"
+        + (f", param_tile={pt}" if pt else ""),
         requested=requested,
     )
     _log.info(

@@ -390,6 +390,8 @@ class SampleModel:
                 event_tile=self.kernel_route.event_tile,
             )
         if self.static_bins is not None:
+            if self.kernel_route is not None:
+                tiles["param_tile"] = self.kernel_route.param_tile
             return fused_reweight_histogram_shared(
                 selector, coeffs, base_w, self.static_bins, n_bins=self.n_bins,
                 **tiles,

@@ -498,8 +498,62 @@ def _kernel_shared(
     w2_ref[:] += res[ct:]
 
 
+def _kernel_shared_blocked(
+    selector_ref, base_ref, bins_ref, coeffs_ref, mc_ref, w2_ref, w_ref,
+    *, p_tile, n_ptiles, n_bins_padded,
+):
+    """Param-BLOCKED shared-bins variant for reference-scale parameter counts
+    (50-700 spline systematics, ``Splines/SplineMonolith.cpp:53-250``).
+
+    The unrolled kernel holds the whole ``coeffs [P, K4, ET]`` block in VMEM
+    and emits P dots of straight-line code — both explode past ~16 params.
+    Here the grid gains an innermost param-tile axis: each step streams one
+    ``[PT, K4, ET]`` coefficient block through VMEM and multiplies its
+    responses into a persistent ``w [CT, ET]`` scratch accumulator; the
+    histogram contraction fires once on the last param tile. VMEM and code
+    size are now O(PT), not O(P), and Mosaic double-buffers the coefficient
+    stream across grid steps."""
+    ee = pl.program_id(1)
+    pe = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(ee == 0, pe == 0))
+    def _():
+        mc_ref[:] = jnp.zeros_like(mc_ref)
+        w2_ref[:] = jnp.zeros_like(w2_ref)
+
+    @pl.when(pe == 0)
+    def _():
+        w_ref[:] = base_ref[:]
+
+    w = w_ref[:]
+    for p in range(p_tile):
+        resp = jax.lax.dot_general(
+            selector_ref[:, p, :],
+            coeffs_ref[p],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        w = w * resp
+    w_ref[:] = w
+
+    @pl.when(pe == n_ptiles - 1)
+    def _():
+        bins = bins_ref[0]  # [ET] i32
+        et = bins.shape[0]
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (et, n_bins_padded), 1)
+        onehot = (bins[:, None] == iota_b).astype(jnp.float32)  # [ET, BP]
+        z = jnp.concatenate([w, w * w], axis=0)  # [2*CT, ET]
+        res = jax.lax.dot_general(
+            z, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [2*CT, BP]
+        ct = w.shape[0]
+        mc_ref[:] += res[:ct]
+        w2_ref[:] += res[ct:]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n_bins", "chain_tile", "event_tile")
+    jax.jit, static_argnames=("n_bins", "chain_tile", "event_tile", "param_tile")
 )
 def fused_reweight_histogram_shared(
     selector: jnp.ndarray,  # [C, P, K4] f32
@@ -509,15 +563,25 @@ def fused_reweight_histogram_shared(
     n_bins: int,
     chain_tile: int = 64,
     event_tile: int = 4096,
+    param_tile: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (mc [C, B], w2 [C, B]) in f32. Use when bins do not depend on
     the proposal (no functional kinematic shifts) — the common case.
 
     chain_tile=64 makes the histogram dot [2*CT, ET] @ [ET, BP] M-full
-    (measured 1.4 ms vs 2.7 ms at CT=8 for 256 chains x 57k events)."""
+    (measured 1.4 ms vs 2.7 ms at CT=8 for 256 chains x 57k events).
+
+    param_tile: when set (and < P), use the param-blocked kernel — the grid
+    streams [param_tile]-sized coefficient blocks and carries the running
+    response product in VMEM scratch. Required at reference-scale P."""
     c, p, k4 = selector.shape
     e = coeffs.shape[2]
     selector = selector.astype(coeffs.dtype)
+    if param_tile is not None and param_tile < p:
+        return _shared_blocked_call(
+            selector, coeffs, base_w, bins, n_bins,
+            chain_tile, event_tile, param_tile,
+        )
     # Lane-pad the bin axis; the garbage bin (n_bins) lands inside the padded
     # region's first slot and is sliced off with the rest of the padding.
     n_bins_padded = -(-(n_bins + 1) // 128) * 128
@@ -580,6 +644,91 @@ def fused_reweight_histogram_shared(
             jax.ShapeDtypeStruct((cp, n_bins_padded), jnp.float32),
             jax.ShapeDtypeStruct((cp, n_bins_padded), jnp.float32),
         ),
+    )(selector, base_w, bins2d, coeffs)
+    return mc[:c, :n_bins], w2[:c, :n_bins]
+
+
+def _shared_blocked_call(
+    selector, coeffs, base_w, bins, n_bins, chain_tile, event_tile, param_tile
+):
+    """Padding + pallas_call for the param-blocked shared-bins kernel."""
+    c, p, k4 = selector.shape
+    e = coeffs.shape[2]
+    n_bins_padded = -(-(n_bins + 1) // 128) * 128
+    cpad = -c % chain_tile
+    epad = -e % event_tile
+    ppad = -p % param_tile
+    if cpad:
+        selector = jnp.pad(selector, ((0, cpad), (0, 0), (0, 0)))
+        base_w = jnp.pad(base_w, ((0, cpad), (0, 0)))
+    if epad:
+        coeffs = jnp.pad(coeffs, ((0, 0), (0, 0), (0, epad)))
+        base_w = jnp.pad(base_w, ((0, 0), (0, epad)))
+        bins = jnp.pad(bins, ((0, epad),), constant_values=n_bins)
+    if ppad:
+        # Identity-response padding: selector rows pick coefficient row 0,
+        # padded coefficient blocks put 1.0 there — resp == 1 exactly.
+        sel_pad = jnp.zeros((selector.shape[0], ppad, k4), selector.dtype)
+        sel_pad = sel_pad.at[:, :, 0].set(1)
+        selector = jnp.concatenate([selector, sel_pad], axis=1)
+        co_pad = jnp.zeros((ppad, k4, coeffs.shape[2]), coeffs.dtype)
+        co_pad = co_pad.at[:, 0, :].set(1)
+        coeffs = jnp.concatenate([coeffs, co_pad], axis=0)
+    cp, ep, pp = c + cpad, e + epad, p + ppad
+    bins2d = bins[None, :].astype(jnp.int32)
+
+    n_ptiles = pp // param_tile
+    grid = (cp // chain_tile, ep // event_tile, n_ptiles)
+    kernel = functools.partial(
+        _kernel_shared_blocked,
+        p_tile=param_tile,
+        n_ptiles=n_ptiles,
+        n_bins_padded=n_bins_padded,
+    )
+    i32 = jnp.int32
+    in_specs = [
+        pl.BlockSpec(
+            (chain_tile, param_tile, k4),
+            lambda ce, ee, pe: (ce, pe, i32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (chain_tile, event_tile),
+            lambda ce, ee, pe: (ce, ee),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, event_tile),
+            lambda ce, ee, pe: (i32(0), ee),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (param_tile, k4, event_tile),
+            lambda ce, ee, pe: (pe, i32(0), ee),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    mc, w2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(
+                (chain_tile, n_bins_padded),
+                lambda ce, ee, pe: (ce, i32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (chain_tile, n_bins_padded),
+                lambda ce, ee, pe: (ce, i32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((cp, n_bins_padded), jnp.float32),
+            jax.ShapeDtypeStruct((cp, n_bins_padded), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((chain_tile, event_tile), jnp.float32)],
     )(selector, base_w, bins2d, coeffs)
     return mc[:c, :n_bins], w2[:c, :n_bins]
 

@@ -151,6 +151,49 @@ def test_fused_shared_bins_matches_xla(interp):
     pr.fused_reweight_histogram_shared.clear_cache()
 
 
+def test_shared_blocked_matches_unrolled(interp):
+    """Param-blocked shared-bins kernel (reference-scale P, streamed
+    coefficient blocks + VMEM product scratch) equals the unrolled kernel and
+    the XLA path — including with P not a multiple of the param tile."""
+    rng = np.random.default_rng(21)
+    n_events, n_chains, n_bins, n_params = 300, 5, 40, 19  # 19 % 8 != 0
+    specs = []
+    for p in range(n_params):
+        y = 1.0 + 0.05 * rng.normal(size=(n_events, 5)).cumsum(axis=1)
+        specs.append(
+            SplineParamSpec(
+                name=f"p{p}",
+                param_index=p,
+                x_knots=np.array([-2.0, -1.0, 0.0, 1.0, 2.0]),
+                event_ids=np.arange(n_events),
+                y_knots=y,
+            )
+        )
+    table = build_dense_table(specs, n_events)
+    base_w = jnp.asarray(rng.random((n_chains, n_events)), jnp.float32)
+    bins1d = jnp.asarray(rng.integers(0, n_bins + 1, n_events), jnp.int32)
+    params = jnp.asarray(0.3 * rng.normal(size=(n_chains, n_params)))
+
+    sel = pr.spline_selector(table, params)
+    coeffs = table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3])
+    mc_u, w2_u = pr.fused_reweight_histogram_shared(
+        sel, coeffs, base_w, bins1d, n_bins=n_bins, chain_tile=4, event_tile=128
+    )
+    mc_b, w2_b = pr.fused_reweight_histogram_shared(
+        sel, coeffs, base_w, bins1d, n_bins=n_bins, chain_tile=4,
+        event_tile=128, param_tile=8,
+    )
+    np.testing.assert_allclose(np.asarray(mc_b), np.asarray(mc_u), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w2_b), np.asarray(w2_u), rtol=2e-5, atol=1e-5)
+    # XLA reference
+    resp = jax.vmap(lambda p: eval_dense(table, p))(params)
+    w = base_w * resp
+    bins_b = jnp.tile(bins1d[None, :], (n_chains, 1))
+    mc_r = jax.vmap(lambda wi, bi: histogram(wi, bi, n_bins)[0])(w, bins_b)
+    np.testing.assert_allclose(np.asarray(mc_b), np.asarray(mc_r), rtol=2e-5, atol=1e-5)
+    pr.fused_reweight_histogram_shared.clear_cache()
+
+
 def test_static_bins_paths_agree():
     """A shift-free sample gets a precomputed static_bins map from
     build_sample_model and reweights identically to the dynamic path; the

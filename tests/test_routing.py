@@ -85,10 +85,28 @@ def test_event_tile_shrinks_under_vmem_pressure():
     assert big.event_tile < small.event_tile
 
 
-def test_infeasible_vmem_falls_back():
-    # Enormous coefficient block: even the minimum event tile cannot fit.
+def test_large_param_count_takes_blocked_kernel():
+    # Reference-scale P no longer falls back: the param-blocked kernel
+    # streams coefficient blocks, so even P=800 routes to Pallas.
     r = choose_kernel_route(
         2000, _dense_table(p=800, k=20), True, False, requested=True
+    )
+    assert r.use_pallas and r.variant == "shared" and r.param_tile is not None
+    # Small P keeps the unrolled kernel (no param tiling).
+    r_small = choose_kernel_route(40, _dense_table(p=4), True, False,
+                                  requested=True)
+    assert r_small.use_pallas and r_small.param_tile is None
+    # Unrolled-only variants (per-chain bins) DO fall back at large P.
+    r_gen = choose_kernel_route(40, _dense_table(p=50), False, False,
+                                requested=True)
+    assert not r_gen.use_pallas and "spline params" in r_gen.reason
+
+
+def test_infeasible_vmem_falls_back():
+    # A pathological knot count: even one [PT, K4, ET_min] streamed block
+    # exceeds the VMEM budget.
+    r = choose_kernel_route(
+        2000, _dense_table(p=800, k=1200), True, False, requested=True
     )
     assert not r.use_pallas and "VMEM" in r.reason
 
