@@ -21,11 +21,17 @@ import jax.numpy as jnp
 
 from ..core.precision import ATYPE
 
-#: Kinematic phase factor: Δm²[eV²]·L[km]/(4E[GeV]) in natural units.
-OSC_PHASE = 1.2669328107352457
+#: Kinematic phase factor: Δm²[eV²]·L[km]/(4E[GeV]) in natural units,
+#: = 1/(4·ħc) with ħc = 197.3269804 MeV·fm (CODATA 2018). The widely-copied
+#: 1.26693281 traces to an older ħc; the 1e-7 relative difference is a
+#: ~1e-5 rad phase error on full-Earth baselines.
+OSC_PHASE = 1.266932679419849
 
-#: A = 2·√2·G_F·N_e·E in eV² per (Ye · ρ[g/cm³] · E[GeV]) — Prob3++ lineage constant.
-MATTER_A = 1.52649e-4
+#: A = 2·√2·G_F·N_e·E in eV² per (Ye · ρ[g/cm³] · E[GeV]), at full precision
+#: from G_F/(ħc)³ = 1.1663787e-5 GeV⁻², ħc = 197.3269804 MeV·fm,
+#: N_A = 6.02214076e23 (the Prob3++-lineage 1.52649e-4 is this, rounded;
+#: the rounding alone is a ~3e-6 probability error on full-Earth paths).
+MATTER_A = 1.5264932435736812e-4
 
 
 def pmns_matrix(theta12, theta13, theta23, delta_cp) -> jnp.ndarray:

@@ -61,7 +61,8 @@ def match_norm_params(
     cuts test the event's *nominal* kinematics.
     """
     e = events.n_events
-    matched: list[list[int]] = [[] for _ in range(e)]
+    masks: list[np.ndarray] = []
+    gidxs: list[int] = []
     for meta, gidx in metas:
         if not meta.applies_to_sample(sample_name):
             continue
@@ -81,14 +82,22 @@ def match_norm_params(
                 )
             v = events.kinematics[cut.variable]
             mask &= (v >= cut.low) & (v < cut.high)
-        for idx in np.nonzero(mask)[0]:
-            matched[idx].append(gidx)
-    width = max(1, max((len(m) for m in matched), default=1))
+        masks.append(mask)
+        gidxs.append(gidx)
     pad = -1  # replaced by the unit slot downstream
+    if not masks:
+        return np.full((e, 1), pad, np.int64)
+    # Vectorised row-packing (a python per-event loop is minutes at the
+    # reference's 500k+ events): np.nonzero of the [E, M] mask matrix is
+    # row-major, so within an event the meta order is preserved; the position
+    # of each hit within its row is its rank among equal row ids.
+    m = np.stack(masks, axis=1)  # [E, M]
+    width = max(1, int(m.sum(axis=1).max(initial=0)))
     out = np.full((e, width), pad, np.int64)
-    for i, m in enumerate(matched):
-        out[i, : len(m)] = m
-    n_assoc = sum(len(m) for m in matched)
+    rows, cols = np.nonzero(m)
+    pos = np.arange(len(rows)) - np.searchsorted(rows, rows)
+    out[rows, pos] = np.asarray(gidxs, np.int64)[cols]
+    n_assoc = len(rows)
     _log.info(
         "%s: matched %d norm-param/event associations (width %d)",
         sample_name,
@@ -244,16 +253,22 @@ def build_sample_model(
     norm_idx = np.where(norm_idx < 0, n_total_params, norm_idx)
 
     # One-hot form for the MXU path (see SampleModel.norm_onehot) when the
-    # parameter count is small enough for the dense matrix to be cheap, plus
-    # the match-count matrix S [NP+1, E] for the in-kernel log-matmul product.
+    # dense [E*W, NP+1] matrix is cheap; the match-count matrix S [NP+1, E]
+    # (in-kernel + XLA log-matmul product) whenever IT is cheap. At reference
+    # scale (500k+ events, 100+ params) the one-hot would be ~0.5 GB of HBM
+    # read per step while S stays ~100 MB read ONCE for all chains — so the
+    # one-hot is size-gated and the log-matmul takes over (the gather
+    # fallback is a measured catastrophe on TPU: select-expansion chains).
     norm_onehot = None
     norm_s = None
-    if (n_total_params + 1) <= 128:
+    npp1 = n_total_params + 1
+    if npp1 <= 128 and events.n_events * norm_idx.shape[1] * npp1 * 4 <= 128 << 20:
         flat = norm_idx.reshape(-1)
-        oh = np.zeros((len(flat), n_total_params + 1), np.float32)
+        oh = np.zeros((len(flat), npp1), np.float32)
         oh[np.arange(len(flat)), flat] = 1.0
         norm_onehot = jnp.asarray(oh)
-        s = np.zeros((n_total_params + 1, events.n_events), np.float32)
+    if npp1 * events.n_events * 4 <= 512 << 20:
+        s = np.zeros((npp1, events.n_events), np.float32)
         for w_col in range(norm_idx.shape[1]):
             np.add.at(s, (norm_idx[:, w_col], np.arange(events.n_events)), 1.0)
         norm_s = jnp.asarray(s)

@@ -264,8 +264,24 @@ class SampleModel:
         ext = jnp.concatenate([params.astype(FTYPE), jnp.ones((1,), FTYPE)])
         if self.norm_onehot is not None:
             vals = (self.norm_onehot @ ext).reshape(self.norm_idx.shape)
-        else:
-            vals = ext[self.norm_idx]  # [E, Wn]
+            return jnp.prod(vals, axis=1)
+        if self.norm_s is not None:
+            # Log-matmul product (reference-scale path): |w| = exp(S^T log|v|)
+            # with the sign from the parity of matched negative values and an
+            # exact zero for any matched zero. One [NP+1] @ [NP+1, E] matvec
+            # per chain (XLA batches the vmap into a single matmul); S is read
+            # once for all chains, unlike the [E*W, NP+1] one-hot.
+            absext = jnp.abs(ext)
+            # 1e-30 floor: f32 denormals flush to zero on TPU and
+            # 0 * log(0) = NaN would poison the dot.
+            logext = jnp.log(jnp.maximum(absext, jnp.asarray(1e-30, FTYPE)))
+            logw = logext @ self.norm_s  # [E]
+            neg = (ext < 0).astype(FTYPE) @ self.norm_s
+            zero = (absext <= 1e-30).astype(FTYPE) @ self.norm_s
+            sign = 1.0 - 2.0 * (neg - 2.0 * jnp.floor(neg * 0.5))
+            w = jnp.exp(logw) * sign
+            return jnp.where(zero > 0.5, jnp.zeros((), FTYPE), w)
+        vals = ext[self.norm_idx]  # [E, Wn]
         return jnp.prod(vals, axis=1)
 
     def _spline_weights(self, params: jnp.ndarray) -> jnp.ndarray:

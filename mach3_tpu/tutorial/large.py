@@ -1,0 +1,428 @@
+"""Reference-scale fixture: a 3-sample, 100+ parameter, 500k+ event fit.
+
+The toy (``tutorial/toy.py``) proves correctness; this fixture proves the
+framework at the scale the reference actually runs (``SURVEY.md`` intro:
+10-700 parameters, ~1M events, thousands of bins;
+``Samples/SampleHandlerFD.cpp:316-448``, ``Splines/SplineMonolith.cpp:53-250``).
+
+Default shape:
+
+* ``numu_beam`` — 250k events, 2-D (E_reco x theta_reco) binning, 48x24 =
+  1,152 bins, no functional shift -> static bins -> param-BLOCKED fused
+  kernel (``pallas_reweight._kernel_shared_blocked``).
+* ``nue_beam`` — 60k events, 1-D E_reco binning, one energy-scale functional
+  shift on the binned axis -> the shifted mask-reduce kernel is statically
+  infeasible at this parameter count, so automatic routing sends it down the
+  XLA path (this is deliberate: the fixture exercises every route).
+* ``atmo`` — 200k events, 2-D (log10 E_reco x cosZ_reco) binning, 40x25 =
+  1,000 bins, layered-PREM oscillation over an (E, cosZ) grid, static bins
+  -> param-blocked fused kernel.
+
+Parameters (101 total):
+
+* 30 normalisations: flux norms in E_true bins per beam flavour and for the
+  atmospheric sample (kinematic-cut matched), xsec norms by mode x target,
+  NC and nubar norms.
+* 64 spline systematics cycling all five interpolation families
+  (TSpline3 / Linear / Monotonic / Akima / KochanekBartels), mode- and
+  sample-filtered so each sample carries a realistic subset.
+* 1 functional energy-scale parameter (nue_beam).
+* 6 oscillation parameters (shared by beam and atmospheric samples).
+
+Event generation remains deliberately synthetic (gamma fluxes, Gaussian
+smearing) — scale, not physics realism, is the point here.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config
+from ..core.logging import get_logger
+from ..fitters.model import FitModel
+from ..params.parameterset import ParameterSet, ParamType
+from ..samples.events import (
+    EventData,
+    build_atmo_osc_config,
+    build_osc_config,
+    build_sample_model,
+    match_norm_params,
+)
+from ..samples.sample import SampleModel, ShiftSpec
+from ..samples.teststats import TestStatistic
+from ..splines.monolith import SplineParamSpec, build_dense_table
+from .toy import MODE_CCQE, MODE_CCRES, MODE_CCDIS, MODE_NC, osc_config_yaml
+
+_log = get_logger("large")
+
+BASELINE_KM = 295.0
+DENSITY = 2.6
+
+_FAMILIES = ["TSpline3", "Linear", "Monotonic", "Akima", "KochanekBartels"]
+_MODES = [MODE_CCQE, MODE_CCRES, MODE_CCDIS, MODE_NC]
+
+BEAM_SAMPLES = ["numu_beam", "nue_beam"]
+ATMO_SAMPLES = ["atmo"]
+
+
+def large_xsec_config(n_splines: int = 64) -> dict:
+    """Systematics YAML tree at reference scale (schema of
+    ``Parameters/ParameterHandlerBase.cpp:277-317``)."""
+    systematics = []
+
+    def norm(name, error, **extra):
+        syst = {
+            "Names": {"FancyName": name},
+            "ParameterValues": {"PreFitValue": 1.0},
+            "StepScale": {"MCMC": 0.05},
+            "Error": error,
+            "ParameterBounds": [0.0, 3.0],
+            "Type": "Norm",
+            "ParameterGroup": "Flux" if name.startswith("flux") else "Xsec",
+        }
+        syst.update(extra)
+        systematics.append({"Systematic": syst})
+
+    # Flux norms in E_true bins (the reference's flux covariance block).
+    beam_edges = np.linspace(0.0, 3.0, 9)  # 8 bins
+    for b in range(8):
+        norm(
+            f"flux_numu_{b}", 0.08,
+            NeutrinoFlavourUnosc=[14, -14],
+            KinematicCuts=[{"e_true": [float(beam_edges[b]), float(beam_edges[b + 1])]}],
+            SampleNames=BEAM_SAMPLES,
+        )
+    nue_edges = np.linspace(0.0, 3.0, 5)  # 4 bins
+    for b in range(4):
+        norm(
+            f"flux_nue_{b}", 0.10,
+            NeutrinoFlavourUnosc=[12, -12],
+            KinematicCuts=[{"e_true": [float(nue_edges[b]), float(nue_edges[b + 1])]}],
+            SampleNames=BEAM_SAMPLES,
+        )
+    atmo_edges = np.geomspace(0.5, 100.0, 9)  # 8 bins
+    for b in range(8):
+        norm(
+            f"flux_atmo_{b}", 0.12,
+            KinematicCuts=[{"e_true": [float(atmo_edges[b]), float(atmo_edges[b + 1])]}],
+            SampleNames=ATMO_SAMPLES,
+        )
+    # Xsec norms by mode x target, plus NC and nubar.
+    for mode, mname in [(MODE_CCQE, "ccqe"), (MODE_CCRES, "ccres"),
+                        (MODE_CCDIS, "ccdis"), (MODE_NC, "nc")]:
+        for tgt, tname in [(12, "C"), (16, "O")]:
+            norm(f"norm_{mname}_{tname}", 0.12, Mode=[mode], TargetNuclei=[tgt])
+    norm("norm_nc_extra", 0.30, Mode=[MODE_NC])
+    norm("norm_nubar", 0.10, NeutrinoFlavour=[-12, -14, -16])
+
+    # Spline systematics cycling interpolation families, mode affinities and
+    # sample applicability.
+    for i in range(n_splines):
+        syst = {
+            "Names": {"FancyName": f"spl_{i:03d}"},
+            "ParameterValues": {"PreFitValue": 0.0},
+            "StepScale": {"MCMC": 0.1},
+            "Error": 0.2 + 0.1 * (i % 3),
+            "ParameterBounds": [-3.0, 3.0],
+            "Type": "Spline",
+            "ParameterGroup": "Xsec",
+            "Mode": [_MODES[i % 4]],
+            "SplineInformation": {
+                "SplineName": f"spl_{i:03d}",
+                "InterpolationType": _FAMILIES[i % 5],
+            },
+        }
+        # Every third spline is sample-restricted: beam-only or atmo-only.
+        if i % 3 == 1:
+            syst["SampleNames"] = BEAM_SAMPLES
+        elif i % 3 == 2:
+            syst["SampleNames"] = ATMO_SAMPLES
+        systematics.append({"Systematic": syst})
+
+    # One functional energy-scale parameter for the nue sample.
+    systematics.append(
+        {
+            "Systematic": {
+                "Names": {"FancyName": "escale_nue"},
+                "ParameterValues": {"PreFitValue": 0.0},
+                "StepScale": {"MCMC": 0.2},
+                "Error": 0.02,
+                "ParameterBounds": [-0.3, 0.3],
+                "Type": "Functional",
+                "ParameterGroup": "Detector",
+                "SampleNames": ["nue_beam"],
+            }
+        }
+    )
+    return {"Systematics": systematics}
+
+
+@dataclasses.dataclass
+class LargeExperiment:
+    xsec: ParameterSet
+    osc: ParameterSet
+    samples: list[SampleModel]
+    model: FitModel
+    names: list[str]
+
+    @property
+    def n_params(self) -> int:
+        return self.model.n_params
+
+
+def _beam_events(rng: np.random.Generator, n: int) -> EventData:
+    e_true = rng.gamma(shape=3.0, scale=0.25, size=n) + 0.05
+    e_reco = np.clip(e_true * (1.0 + 0.08 * rng.normal(size=n)), 0.01, None)
+    theta_reco = np.abs(rng.normal(0.0, 15.0, n)) + rng.uniform(0, 5, n)
+    mode = rng.choice(_MODES, p=[0.45, 0.25, 0.15, 0.15], size=n)
+    target = rng.choice([12, 16], p=[0.6, 0.4], size=n)
+    preosc = rng.choice([14, 12, -14], p=[0.90, 0.03, 0.07], size=n)
+    det = preosc.copy()
+    numu_idx = np.nonzero(np.abs(preosc) == 14)[0]
+    appearance = rng.random(len(numu_idx)) < 0.25
+    det[numu_idx[appearance]] = np.sign(preosc[numu_idx[appearance]]) * 12
+    weight = np.where(np.abs(preosc) == 14,
+                      np.where(np.abs(det) == 12, 1 / 0.25, 1 / 0.75), 1.0)
+    weight = weight * 50.0 / np.sqrt(np.maximum(e_true, 0.05))
+    return EventData(
+        kinematics={"e_true": e_true, "e_reco": e_reco, "theta_reco": theta_reco},
+        mode=mode.astype(np.int32),
+        target=target.astype(np.int32),
+        pdg=det.astype(np.int32),
+        preosc_pdg=preosc.astype(np.int32),
+        mc_weight=(weight / n * 2e5).astype(np.float64),
+    )
+
+
+def _atmo_events(rng: np.random.Generator, n: int) -> EventData:
+    # Power-law atmospheric flux, up/down symmetric zenith.
+    e_true = 0.5 * (1.0 + rng.pareto(1.7, size=n))
+    e_true = np.clip(e_true, 0.5, 100.0)
+    e_reco = np.clip(e_true * (1.0 + 0.15 * rng.normal(size=n)), 0.3, 120.0)
+    cosz = rng.uniform(-1.0, 1.0, n)
+    cosz_reco = np.clip(cosz + 0.08 * rng.normal(size=n), -1.0, 1.0)
+    mode = rng.choice(_MODES, p=[0.40, 0.25, 0.20, 0.15], size=n)
+    target = rng.choice([12, 16], p=[0.5, 0.5], size=n)
+    preosc = rng.choice([14, -14, 12, -12], p=[0.40, 0.30, 0.18, 0.12], size=n)
+    det = preosc.copy()
+    mu_idx = np.nonzero(np.abs(preosc) == 14)[0]
+    appearance = rng.random(len(mu_idx)) < 0.15
+    det[mu_idx[appearance]] = np.sign(preosc[mu_idx[appearance]]) * 12
+    # oversampling weights + soft spectrum normalisation
+    weight = np.where(np.abs(preosc) == 14,
+                      np.where(np.abs(det) == 12, 1 / 0.15, 1 / 0.85), 1.0)
+    weight = weight * (e_true / 2.0) ** (-1.0)
+    return EventData(
+        kinematics={
+            "e_true": e_true,
+            "e_reco": e_reco,
+            "cos_zenith": cosz,
+            "cosz_reco": cosz_reco,
+        },
+        mode=mode.astype(np.int32),
+        target=target.astype(np.int32),
+        pdg=det.astype(np.int32),
+        preosc_pdg=preosc.astype(np.int32),
+        mc_weight=(weight / n * 1e5).astype(np.float64),
+    )
+
+
+def _spline_specs_for(
+    rng: np.random.Generator,
+    events: EventData,
+    xsec: ParameterSet,
+    sample_name: str,
+) -> list[SplineParamSpec]:
+    """Spline specs for ONE sample: every spline param that applies to the
+    sample gets per-event responses on its affected-mode events."""
+    sigma = np.array([-3.0, -1.0, 0.0, 1.0, 3.0])
+    specs = []
+    for meta in xsec.of_type(ParamType.SPLINE):
+        if not meta.applies_to_sample(sample_name):
+            continue
+        mask = np.isin(events.mode, meta.modes) if meta.modes else np.ones(
+            events.n_events, bool
+        )
+        affected = np.nonzero(mask)[0]
+        if len(affected) == 0:
+            continue
+        n = len(affected)
+        slope = 0.06 * (1.0 + 0.3 * rng.normal(size=n))
+        curv = 0.008 * rng.normal(size=n)
+        y = 1.0 + slope[:, None] * sigma[None, :] + curv[:, None] * sigma[None, :] ** 2
+        y = np.clip(y, 0.0, None)
+        y[:, 2] = 1.0
+        specs.append(
+            SplineParamSpec(
+                name=meta.name,
+                param_index=meta.index,
+                x_knots=sigma,
+                event_ids=affected,
+                y_knots=y,
+                interpolation=meta.spline_interpolation,
+                knot_low=0.0,
+                knot_high=9.0,
+            )
+        )
+    return specs
+
+
+def build_large(
+    n_numu: int = 250_000,
+    n_nue: int = 60_000,
+    n_atmo: int = 200_000,
+    n_splines: int = 64,
+    seed: int = 2026,
+    test_statistic: TestStatistic = TestStatistic.BARLOW_BEESTON,
+    low_memory: bool = False,
+    use_pallas: bool | str = "auto",
+    e_grid_size: int = 160,
+    atmo_e_grid_size: int = 50,
+    atmo_cosz_grid_size: int = 20,
+    numu_bins: tuple[int, int] = (48, 24),
+    atmo_bins: tuple[int, int] = (40, 25),
+    asimov: bool = True,
+) -> LargeExperiment:
+    """Build the reference-scale experiment. Defaults give 101 parameters,
+    510k events, 2,182 bins across three samples.
+
+    low_memory stores spline tables in bf16 (the reference's
+    ``_LOW_MEMORY_STRUCTS_`` analogue, ``Manager/Core.h:27-41``).
+    """
+    rng = np.random.default_rng(seed)
+    xsec = ParameterSet.from_config(Config(large_xsec_config(n_splines)), name="xsec")
+    osc = ParameterSet.from_config(Config(osc_config_yaml()), name="osc")
+    n_xsec = len(xsec)
+    n_total = n_xsec + len(osc)
+    osc_gidx = list(range(n_xsec, n_xsec + 6))
+    norm_metas = [(m, m.index) for m in xsec.of_type(ParamType.NORM)]
+    escale_idx = xsec.index_of("escale_nue")
+
+    beam = _beam_events(rng, n_numu + n_nue)
+    is_numu_sel = (np.abs(beam.pdg) == 14) & (beam.mode != MODE_NC)
+    # nue selection capped at n_nue events to keep the stated sample sizes
+    nue_pool = np.nonzero((np.abs(beam.pdg) == 12) | (beam.mode == MODE_NC))[0]
+    nue_take = nue_pool[:n_nue]
+
+    def subset(events: EventData, idx: np.ndarray) -> EventData:
+        return EventData(
+            kinematics={k: v[idx] for k, v in events.kinematics.items()},
+            mode=events.mode[idx],
+            target=events.target[idx],
+            pdg=events.pdg[idx],
+            preosc_pdg=events.preosc_pdg[idx],
+            mc_weight=events.mc_weight[idx],
+        )
+
+    e_grid = np.linspace(0.05, 3.0, e_grid_size)
+    samples: list[SampleModel] = []
+
+    # ---- numu_beam: 2-D (E_reco, theta_reco), static bins, blocked kernel
+    numu_idx = np.nonzero(is_numu_sel)[0][:n_numu]
+    sub = subset(beam, numu_idx)
+    specs = _spline_specs_for(rng, sub, xsec, "numu_beam")
+    table = build_dense_table(specs, sub.n_events, low_memory=low_memory)
+    samples.append(
+        build_sample_model(
+            "numu_beam",
+            sub,
+            var_order=["e_true", "e_reco", "theta_reco"],
+            binning_edges=[
+                np.linspace(0.0, 3.0, numu_bins[0] + 1),
+                np.linspace(0.0, 60.0, numu_bins[1] + 1),
+            ],
+            binning_vars=["e_reco", "theta_reco"],
+            n_total_params=n_total,
+            norm_idx=match_norm_params(sub, norm_metas, "numu_beam"),
+            spline_table=table,
+            osc=build_osc_config(
+                sub, e_grid, osc_gidx, baseline=BASELINE_KM, density=DENSITY,
+                nc_modes=[MODE_NC], phase_dtype=jnp.float32,
+            ),
+            test_statistic=test_statistic,
+            use_pallas=use_pallas,
+        )
+    )
+
+    # ---- nue_beam: 1-D E_reco with an energy-scale shift -> XLA route
+    sub = subset(beam, nue_take)
+    specs = _spline_specs_for(rng, sub, xsec, "nue_beam")
+    table = build_dense_table(specs, sub.n_events, low_memory=low_memory)
+    samples.append(
+        build_sample_model(
+            "nue_beam",
+            sub,
+            var_order=["e_true", "e_reco", "theta_reco"],
+            binning_edges=[np.linspace(0.0, 3.0, 31)],
+            binning_vars=["e_reco"],
+            n_total_params=n_total,
+            norm_idx=match_norm_params(sub, norm_metas, "nue_beam"),
+            spline_table=table,
+            osc=build_osc_config(
+                sub, e_grid, osc_gidx, baseline=BASELINE_KM, density=DENSITY,
+                nc_modes=[MODE_NC], phase_dtype=jnp.float32,
+            ),
+            shifts=(
+                ShiftSpec(
+                    fn=lambda value, x, kin: x * (1.0 + value),
+                    param_index=escale_idx,
+                    var_row=1,  # e_reco
+                ),
+            ),
+            test_statistic=test_statistic,
+            use_pallas=use_pallas,
+        )
+    )
+
+    # ---- atmo: 2-D (E_reco log-grid, cosZ_reco), layered-PREM oscillation
+    atmo = _atmo_events(rng, n_atmo)
+    specs = _spline_specs_for(rng, atmo, xsec, "atmo")
+    table = build_dense_table(specs, atmo.n_events, low_memory=low_memory)
+    e_edges = np.geomspace(0.3, 120.0, atmo_bins[0] + 1)
+    samples.append(
+        build_sample_model(
+            "atmo",
+            atmo,
+            var_order=["e_true", "e_reco", "cos_zenith", "cosz_reco"],
+            binning_edges=[e_edges, np.linspace(-1.0, 1.0, atmo_bins[1] + 1)],
+            binning_vars=["e_reco", "cosz_reco"],
+            n_total_params=n_total,
+            norm_idx=match_norm_params(atmo, norm_metas, "atmo"),
+            spline_table=table,
+            osc=build_atmo_osc_config(
+                atmo,
+                e_grid=np.geomspace(0.5, 100.0, atmo_e_grid_size),
+                cosz_grid=np.linspace(-0.99, 0.99, atmo_cosz_grid_size),
+                osc_param_gidx=osc_gidx,
+                nc_modes=[MODE_NC],
+            ),
+            test_statistic=test_statistic,
+            use_pallas=use_pallas,
+        )
+    )
+
+    model = FitModel.build([xsec, osc], samples)
+    _log.info(
+        "large fixture: %d params, %s events, %s bins",
+        model.n_params,
+        [s.n_events for s in samples],
+        [s.n_bins for s in samples],
+    )
+
+    if asimov:
+        import jax
+
+        try:
+            build_device = jax.devices("cpu")[0]
+        except RuntimeError:
+            build_device = jax.devices()[0]
+        with jax.default_device(build_device):
+            theta0 = model.prefit_vector()
+            data = [np.asarray(jax.jit(s.asimov_data)(theta0)) for s in samples]
+        samples = [s.with_data(a) for s, a in zip(samples, data)]
+        model = FitModel.build([xsec, osc], samples)
+
+    names = [f"xsec_{n}" for n in xsec.names] + [f"osc_{n}" for n in osc.names]
+    return LargeExperiment(xsec=xsec, osc=osc, samples=samples, model=model, names=names)
