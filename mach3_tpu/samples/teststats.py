@@ -33,6 +33,12 @@ class TestStatistic(enum.Enum):
     DEMBINSKI_ABDELMOTTELEB = "DembinskiAbdelmotteleb"
     ICECUBE = "IceCube"
     PEARSON = "Pearson"
+    # Extension beyond the reference's five: fixed-variance (Neyman) Gaussian,
+    # -logL = (d-mc)^2 / (2 max(d,1)). The variance does NOT depend on the
+    # proposal, so a model linear in the parameters has an exactly Gaussian
+    # posterior — the closed-form anchor of the posterior-parity regression
+    # harness (tests/test_parity.py).
+    GAUSSIAN = "Gaussian"
 
 
 def _safe_log_ratio(data: jnp.ndarray, mc: jnp.ndarray) -> jnp.ndarray:
@@ -154,6 +160,13 @@ def pearson_llh(data: jnp.ndarray, mc: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(data == 0, mc / 2.0, jnp.where(mc < low, low_mc, general))
 
 
+def gaussian_llh(data: jnp.ndarray, mc: jnp.ndarray) -> jnp.ndarray:
+    """Fixed-variance (Neyman) Gaussian: (d-mc)^2 / (2 max(d,1))."""
+    data = jnp.asarray(data, ATYPE)
+    mc = jnp.asarray(mc, ATYPE)
+    return (data - mc) ** 2 / (2.0 * jnp.maximum(data, 1.0))
+
+
 def get_test_stat_fn(
     stat: TestStatistic | str,
 ) -> Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]:
@@ -170,4 +183,6 @@ def get_test_stat_fn(
         return icecube_llh
     if stat is TestStatistic.PEARSON:
         return lambda data, mc, w2: pearson_llh(data, mc)
+    if stat is TestStatistic.GAUSSIAN:
+        return lambda data, mc, w2: gaussian_llh(data, mc)
     raise ValueError(f"Unknown test statistic: {stat}")

@@ -414,10 +414,11 @@ def build_large(
     if asimov:
         import jax
 
+        # local_devices: safe under jax.distributed (see toy.py).
         try:
-            build_device = jax.devices("cpu")[0]
+            build_device = jax.local_devices(backend="cpu")[0]
         except RuntimeError:
-            build_device = jax.devices()[0]
+            build_device = jax.local_devices()[0]
         with jax.default_device(build_device):
             theta0 = model.prefit_vector()
             data = [np.asarray(jax.jit(s.asimov_data)(theta0)) for s in samples]

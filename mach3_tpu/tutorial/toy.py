@@ -332,10 +332,13 @@ def build_toy(
     # reweight costs minutes for no benefit.
     import jax
 
+    # local_devices, not devices: under jax.distributed, global device 0 is
+    # non-addressable from other processes and jit outputs pinned there
+    # cannot be fetched.
     try:
-        build_device = jax.devices("cpu")[0]
+        build_device = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
-        build_device = jax.devices()[0]
+        build_device = jax.local_devices()[0]
     with jax.default_device(build_device):
         theta0 = model.prefit_vector()
         asimov = [np.asarray(jax.jit(s.asimov_data)(theta0)) for s in samples]
