@@ -29,11 +29,18 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--diag", default=None, help="mach3-diag npz output")
     parser.add_argument("--sigma-var", default=None,
                         help="mach3-llhscan --sigma-var npz to render")
+    parser.add_argument("--style", default=None,
+                        help="Style YAML (palette, rcParams, pretty names) — "
+                        "the reference StyleManager config")
     from .common import add_common_args, setup_platform
 
     add_common_args(parser)
     args = parser.parse_args(argv)
     setup_platform(args)
+
+    from ..plotting.style import StyleManager
+
+    StyleManager(args.style).apply()
 
     from ..diagnostics.chain_io import load_chain
     from ..diagnostics.processor import ChainProcessor

@@ -40,19 +40,25 @@ def _load_library():
         return _lib
     _lib_tried = True
     so = os.path.join(_native_dir(), "libm3io.so")
-    if not os.path.exists(so):
-        src = os.path.join(_native_dir(), "m3io.cpp")
-        if os.path.exists(src):
-            try:
-                subprocess.run(
-                    ["make", "-C", _native_dir()],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except (subprocess.SubprocessError, OSError) as e:
-                _log.warning("Could not build libm3io.so (%s); using numpy fallback", e)
-                return None
+    src = os.path.join(_native_dir(), "m3io.cpp")
+    stale = (
+        os.path.exists(so)
+        and os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(so)
+    )
+    if (not os.path.exists(so) or stale) and os.path.exists(src):
+        # The binary is NOT committed; it is always built from source here
+        # (and rebuilt whenever the source is newer).
+        try:
+            subprocess.run(
+                ["make", "-B", "-C", _native_dir()],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except (subprocess.SubprocessError, OSError) as e:
+            _log.warning("Could not build libm3io.so (%s); using numpy fallback", e)
+            return None
     if not os.path.exists(so):
         return None
     try:

@@ -1,3 +1,4 @@
+from .style import StyleManager
 from .plots import (
     plot_diagnostics,
     plot_llh_scans,
@@ -11,6 +12,7 @@ from .plots import (
 )
 
 __all__ = [
+    "StyleManager",
     "plot_diagnostics",
     "plot_llh_scans",
     "plot_matrix",

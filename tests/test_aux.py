@@ -326,3 +326,35 @@ def test_capture_stdout_logger():
         logger.removeHandler(sink)
     assert "hello from a noisy library" in records
     assert "partial" in records
+
+
+def test_style_manager_defaults_and_config(tmp_path):
+    """StyleManager (reference Plotting/PlottingUtils/StyleManager.h
+    equivalent): palette cycling, pretty names with prefix stripping,
+    YAML overrides, scoped rcParams application."""
+    import matplotlib as mpl
+
+    from mach3_tpu.plotting import StyleManager
+
+    sm = StyleManager()
+    assert sm.color(0) != sm.color(1)
+    assert sm.color(len(sm.palette)) == sm.color(0)  # cycles
+    assert sm.pretty_name("osc_delta_cp") == r"$\delta_{CP}$"
+    assert sm.pretty_name("xsec_sin2th23") == r"$\sin^2\theta_{23}$"
+    assert "_" not in sm.pretty_name("norm_ccqe_C")
+
+    cfg = tmp_path / "style.yaml"
+    cfg.write_text(
+        "Style:\n"
+        "  Palette: ['#112233', '#445566']\n"
+        "  rcParams: {'font.size': 13}\n"
+        "  PrettyNames: {'norm_ccqe_C': 'CCQE (C)'}\n"
+    )
+    sm2 = StyleManager(str(cfg))
+    assert sm2.color(0) == "#112233"
+    assert sm2.pretty_name("norm_ccqe_C") == "CCQE (C)"
+    before = mpl.rcParams["font.size"]
+    with sm2.context():
+        assert mpl.rcParams["font.size"] == 13
+        assert mpl.rcParams["axes.prop_cycle"].by_key()["color"][0] == "#112233"
+    assert mpl.rcParams["font.size"] == before  # restored

@@ -75,3 +75,23 @@ def test_empty_columns_rejected(tmp_path):
         nativeio.write_events(
             str(tmp_path / "x.m3ev"), {"a": np.zeros((2, 2))}
         )
+
+
+def test_stale_library_rebuilt_from_source():
+    """A libm3io.so older than m3io.cpp is rebuilt on load (the binary is
+    never committed; the library is always a build product)."""
+    import os
+    import shutil
+
+    if shutil.which("make") is None or shutil.which("g++") is None:
+        pytest.skip("no native toolchain")
+    d = nativeio._native_dir()
+    so = os.path.join(d, "libm3io.so")
+    src = os.path.join(d, "m3io.cpp")
+    nativeio._lib, nativeio._lib_tried = None, False
+    assert nativeio._load_library() is not None  # builds if missing
+    os.utime(src, None)  # source now newer than the binary
+    assert os.path.getmtime(src) > os.path.getmtime(so)
+    nativeio._lib, nativeio._lib_tried = None, False
+    assert nativeio._load_library() is not None
+    assert os.path.getmtime(so) >= os.path.getmtime(src)  # rebuilt
