@@ -60,16 +60,41 @@ def _hpd_interval(
 
 
 def _gaussian_fit(centers: np.ndarray, counts: np.ndarray) -> tuple[float, float]:
-    """Moment-matched Gaussian around the bulk (the reference fits a TF1
-    Gaussian; moment matching over the central 95% is equivalent at our
-    accuracy and has no optimiser dependency)."""
+    """Least-squares Gaussian FIT to the histogram bulk — the reference's TF1
+    ``gaus`` fit around the peak (``MCMCProcessor::MakePostfit`` Gaussian
+    estimator), not moment matching: a fit weights the core and ignores
+    asymmetric tails, which moments cannot. Moments seed the fit and remain
+    the fallback if the optimiser fails."""
     total = counts.sum()
     if total <= 0:
         return float(centers[len(centers) // 2]), 0.0
     mean = float((centers * counts).sum() / total)
     var = float(((centers - mean) ** 2 * counts).sum() / total)
-    # One trimming pass at 2.5 sigma to reduce tail sensitivity.
-    sel = np.abs(centers - mean) < 2.5 * np.sqrt(max(var, 1e-300))
+    sigma = float(np.sqrt(max(var, 1e-300)))
+    # Fit window: peak region only (the reference restricts the TF1 range).
+    sel = np.abs(centers - mean) < 2.0 * sigma
+    if sel.sum() >= 4 and counts[sel].max() > 0:
+        try:
+            from scipy.optimize import curve_fit
+
+            def gaus(x, a, mu, sig):
+                return a * np.exp(-0.5 * ((x - mu) / sig) ** 2)
+
+            p0 = [float(counts[sel].max()), mean, sigma]
+            popt, _ = curve_fit(
+                gaus, centers[sel], counts[sel], p0=p0, maxfev=2000
+            )
+            mu_fit, sig_fit = float(popt[1]), abs(float(popt[2]))
+            # Sanity: the fit must stay inside the histogram support.
+            if (
+                centers.min() <= mu_fit <= centers.max()
+                and 0 < sig_fit < 5 * sigma
+            ):
+                return mu_fit, sig_fit
+        except Exception:  # singular fits fall back to moments
+            pass
+    # Moment fallback with one 2.5-sigma trimming pass.
+    sel = np.abs(centers - mean) < 2.5 * sigma
     if counts[sel].sum() > 0:
         mean = float((centers[sel] * counts[sel]).sum() / counts[sel].sum())
         var = float(((centers[sel] - mean) ** 2 * counts[sel]).sum() / counts[sel].sum())

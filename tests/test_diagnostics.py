@@ -171,3 +171,20 @@ def test_credible_region_2d_mass():
     xc, yc, counts, level = proc.credible_region_2d(0, 1, mass=0.6827)
     enclosed = counts[counts >= level].sum() / counts.sum()
     assert enclosed == pytest.approx(0.6827, abs=0.04)
+
+
+def test_gaussian_estimator_is_a_fit_not_moments():
+    """On a skewed distribution the Gaussian FIT tracks the core; plain
+    moments are dragged by the tail (reference TF1-gaus-fit semantics)."""
+    rng = np.random.default_rng(8)
+    # exponential-tailed: core N(0,1) plus a long right tail
+    x = np.concatenate([rng.normal(0, 1, 80_000), rng.exponential(3.0, 20_000) + 1])
+    counts, edges = np.histogram(x, bins=120)
+    centers = 0.5 * (edges[1:] + edges[:-1])
+    from mach3_tpu.diagnostics.processor import _gaussian_fit
+
+    mu, sig = _gaussian_fit(centers, counts.astype(float))
+    moment_mu = float(x.mean())
+    assert abs(mu) < 0.35  # fit stays near the core
+    assert abs(moment_mu) > 0.5  # moments do not
+    assert 0.7 < sig < 1.6
