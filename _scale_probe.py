@@ -52,31 +52,41 @@ thetas = jnp.asarray(
 )
 
 
-def scan_time(name, fn, *arrs, iters=args.iters):
-    """Time fn(*arrs) inside a scan; the carry perturbs the first arg by 0 so
-    XLA cannot hoist the body out of the loop."""
-    def body(carry, _):
-        a0 = arrs[0] + carry * 0
-        out = fn(a0, *arrs[1:])
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        return carry + jnp.sum(leaf).astype(jnp.float32) * 1e-30, None
+def scan_time(name, fn, mdl, *arrs, iters=args.iters):
+    """Time fn(mdl, *arrs) inside a scan. The model rides as a jit ARGUMENT
+    (GB-scale tables as buffers, not HLO constants — the remote compile
+    service 413s on constant-laden programs); the carry perturbs the first
+    array arg so XLA cannot hoist the body out of the loop."""
+    def run(m):
+        def body(carry, _):
+            a0 = arrs[0] + carry * 0
+            out = fn(m, a0, *arrs[1:])
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return carry + jnp.sum(leaf).astype(jnp.float32) * 1e-30, None
 
-    g = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0), None, length=iters)[0])
+        return jax.lax.scan(body, jnp.float32(0), None, length=iters)[0]
+
+    g = jax.jit(run)
     tc = time.perf_counter()
-    jax.block_until_ready(g())
+    jax.block_until_ready(g(mdl))
     compile_s = time.perf_counter() - tc
     t0 = time.perf_counter()
-    jax.block_until_ready(g())
+    jax.block_until_ready(g(mdl))
     dt = time.perf_counter() - t0
     print(json.dumps({"component": name, "ms": round(1e3 * dt / iters, 3),
                       "compile_s": round(compile_s, 1)}), flush=True)
 
 
-scan_time("total_nll (full step LLH)", model.total_nll_batch, thetas)
+scan_time("total_nll (full step LLH)", lambda m, t: m.total_nll_batch(t), model, thetas)
 for s in model.samples:
-    scan_time(f"reweight[{s.name}]", s.reweight_batch, thetas)
+    scan_time(f"reweight[{s.name}]", lambda m, t: m.reweight_batch(t), s, thetas)
     if s.osc is not None:
-        scan_time(f"osc_grids[{s.name}]", jax.vmap(s.osc_prob_grids), thetas)
+        scan_time(
+            f"osc_grids[{s.name}]",
+            lambda m, t: jax.vmap(m.osc_prob_grids)(t),
+            s,
+            thetas,
+        )
 
 if args.mcmc:
     from mach3_tpu.fitters.mcmc import MR2T2, MCMCConfig

@@ -33,19 +33,24 @@ def stage(msg, t0):
     return time.perf_counter()
 
 
-def scan_time(jax, jnp, fn, *arrs, iters=20):
-    """Per-call time of fn(*arrs) inside a lax.scan (dispatch-free; the carry
-    perturbs the first arg by 0 so XLA cannot hoist the body)."""
-    def body(carry, _):
-        a0 = arrs[0] + carry * 0
-        out = fn(a0, *arrs[1:])
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        return carry + jnp.sum(leaf).astype(jnp.float32) * 1e-30, None
+def scan_time(jax, jnp, fn, mdl, *arrs, iters=20):
+    """Per-call time of fn(mdl, *arrs) inside a lax.scan (dispatch-free). The
+    model is a jit ARGUMENT so its tables are buffers, not HLO constants
+    (the remote compile service rejects constant-laden programs); the carry
+    perturbs the first array arg so XLA cannot hoist the body."""
+    def run(m):
+        def body(carry, _):
+            a0 = arrs[0] + carry * 0
+            out = fn(m, a0, *arrs[1:])
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return carry + jnp.sum(leaf).astype(jnp.float32) * 1e-30, None
 
-    g = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0), None, length=iters)[0])
-    jax.block_until_ready(g())  # compile + warm
+        return jax.lax.scan(body, jnp.float32(0), None, length=iters)[0]
+
+    g = jax.jit(run)
+    jax.block_until_ready(g(mdl))  # compile + warm
     t0 = time.perf_counter()
-    jax.block_until_ready(g())
+    jax.block_until_ready(g(mdl))
     return (time.perf_counter() - t0) / iters
 
 
@@ -115,22 +120,23 @@ def main() -> None:
         comp["propose_ms"] = round(
             1e3 * scan_time(
                 jax, jnp,
-                lambda th: jax.vmap(toy.model.propose)(th, keys),
+                lambda m, th: jax.vmap(m.propose)(th, keys),
+                toy.model,
                 thetas,
             ), 3,
         )
         s0 = toy.model.samples[0]
-        dt_rw = scan_time(jax, jnp, s0.reweight_batch, thetas)
+        dt_rw = scan_time(jax, jnp, lambda m, t: m.reweight_batch(t), s0, thetas)
         comp["reweight_hist_ms"] = round(1e3 * dt_rw, 3)
         extras["spline_reweight_events_per_sec"] = round(
             s0.n_events * n_chains / dt_rw, 0
         )
         if s0.osc is not None:
             comp["osc_grids_ms"] = round(
-                1e3 * scan_time(jax, jnp, jax.vmap(s0.osc_prob_grids), thetas), 3
+                1e3 * scan_time(jax, jnp, lambda m, t: jax.vmap(m.osc_prob_grids)(t), s0, thetas), 3
             )
         comp["total_nll_ms"] = round(
-            1e3 * scan_time(jax, jnp, toy.model.total_nll_batch, thetas), 3
+            1e3 * scan_time(jax, jnp, lambda m, t: m.total_nll_batch(t), toy.model, thetas), 3
         )
         extras["component_ms"] = comp
         t = stage("components", t)
@@ -170,11 +176,11 @@ def main() -> None:
             th_l = jnp.asarray(
                 th_l + 1e-3 * rng.normal(size=th_l.shape)
             )
-            dt_nll = scan_time(jax, jnp, exp.model.total_nll_batch, th_l, iters=10)
+            dt_nll = scan_time(jax, jnp, lambda m, t: m.total_nll_batch(t), exp.model, th_l, iters=10)
             ev_total = sum(s.n_events for s in exp.samples)
             rw = {}
             for s in exp.samples:
-                d = scan_time(jax, jnp, s.reweight_batch, th_l, iters=10)
+                d = scan_time(jax, jnp, lambda m, t: m.reweight_batch(t), s, th_l, iters=10)
                 rw[s.name] = {
                     "ms": round(1e3 * d, 3),
                     "events_per_sec": round(s.n_events * c_large / d, 0),

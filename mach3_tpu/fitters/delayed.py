@@ -47,13 +47,12 @@ class DelayedConfig(MCMCConfig):
     delay_probability: float = 1.0
 
 
-def make_delayed_step_fn(model: FitModel, config: DelayedConfig):
-    block_mask = adaption_block_mask(model.n_params, config.adaption_blocks)
+def make_delayed_step_fn_args(config: DelayedConfig):
+    """``step(model, state)`` with the model as a traced pytree argument
+    (keeps GB-scale tables out of compiled-program constants; see
+    ``mcmc.make_step_fn_args``)."""
 
-    def nll_fn(theta):
-        return model.total_nll(theta)
-
-    def scaled_propose(theta, key, scale):
+    def _scaled_propose(model, theta, key, scale):
         """Blockwise proposal with a global extra scale factor."""
         keys = jax.random.split(key, len(model.priors))
         parts = []
@@ -73,7 +72,15 @@ def make_delayed_step_fn(model: FitModel, config: DelayedConfig):
             parts.append(prop)
         return jnp.concatenate(parts)
 
-    def step_fn(state: ChainState):
+    def step_fn(model: FitModel, state: ChainState):
+        block_mask = adaption_block_mask(model.n_params, config.adaption_blocks)
+
+        def nll_fn(theta):
+            return model.total_nll(theta)
+
+        def scaled_propose(theta, key, scale):
+            return _scaled_propose(model, theta, key, scale)
+
         key = state.key
         n_chains = state.theta.shape[0]
 
@@ -174,15 +181,27 @@ def make_delayed_step_fn(model: FitModel, config: DelayedConfig):
     return step_fn
 
 
+def make_delayed_step_fn(model: FitModel, config: DelayedConfig):
+    """Convenience closure form (tests/small models)."""
+    inner = make_delayed_step_fn_args(config)
+
+    def step_fn(state: ChainState):
+        return inner(model, state)
+
+    return step_fn
+
+
 class DelayedMR2T2(MR2T2):
     """Chunked driver reusing the MR2T2 harness with the delayed step."""
 
     def __init__(self, model: FitModel, config: DelayedConfig, init_theta: np.ndarray, seed: int = 0):
         # Initialise the plain driver then swap in the delayed step.
         super().__init__(model, config, init_theta, seed)
-        step_fn = make_delayed_step_fn(model, config)
+        step_fn = make_delayed_step_fn_args(config)
 
-        def run_chunk(state: ChainState, n_steps: int):
-            return jax.lax.scan(lambda s, _: step_fn(s), state, None, length=n_steps)
+        def run_chunk(mdl: FitModel, state: ChainState, n_steps: int):
+            return jax.lax.scan(
+                lambda s, _: step_fn(mdl, s), state, None, length=n_steps
+            )
 
-        self._run_chunk = jax.jit(run_chunk, static_argnums=1)
+        self._run_chunk = jax.jit(run_chunk, static_argnums=2)

@@ -167,14 +167,21 @@ def adaptive_propose(
     return jnp.where(flat.flip_mask & ~flat.fixed & do_flip, flipped, prop)
 
 
-def make_step_fn(
-    model: FitModel, config: MCMCConfig
-) -> Callable[[ChainState], tuple[ChainState, dict[str, jnp.ndarray]]]:
-    """Build the pure single-step transition for a batch of chains."""
-    n_params = model.n_params
-    block_mask = adaption_block_mask(n_params, config.adaption_blocks)
+def make_step_fn_args(
+    config: MCMCConfig,
+) -> Callable[[FitModel, ChainState], tuple[ChainState, dict[str, jnp.ndarray]]]:
+    """Build the pure single-step transition ``step(model, state)`` with the
+    model passed as a TRACED pytree argument.
 
-    def step_fn(state: ChainState):
+    Passing the model as an argument (rather than closing over it) keeps its
+    arrays — at reference scale, GBs of spline/norm tables — out of the
+    compiled program's constants. The remote-TPU compile service rejects
+    HLO with embedded GB-scale constants (HTTP 413), and even locally,
+    argument buffers are shared across executables while constants are not.
+    """
+
+    def step_fn(model: FitModel, state: ChainState):
+        block_mask = adaption_block_mask(model.n_params, config.adaption_blocks)
         key, k_prop, k_acc = jax.random.split(state.key, 3)
         n_chains = state.theta.shape[0]
 
@@ -234,6 +241,20 @@ def make_step_fn(
             outputs["prior_nll_parts"] = prior_parts
             outputs["sample_nll_parts"] = sample_parts
         return new_state, outputs
+
+    return step_fn
+
+
+def make_step_fn(
+    model: FitModel, config: MCMCConfig
+) -> Callable[[ChainState], tuple[ChainState, dict[str, jnp.ndarray]]]:
+    """Single-step transition closing over the model — the convenience form
+    for tests/small models. Production drivers use ``make_step_fn_args`` and
+    pass the model per call (see its docstring for why)."""
+    inner = make_step_fn_args(config)
+
+    def step_fn(state: ChainState):
+        return inner(model, state)
 
     return step_fn
 
@@ -333,15 +354,18 @@ class MR2T2:
         self.model = model
         self.config = config
         n_chains, n_params = init_theta.shape
-        step_fn = make_step_fn(model, config)
+        step_fn = make_step_fn_args(config)
 
-        def run_chunk(state: ChainState, n_steps: int):
+        # The model is a jit ARGUMENT: its (potentially GB-scale) tables ride
+        # along as device buffers instead of baked HLO constants — required
+        # for the remote-compile path and cheaper locally too.
+        def run_chunk(mdl: FitModel, state: ChainState, n_steps: int):
             def body(s, _):
-                return step_fn(s)
+                return step_fn(mdl, s)
 
             return jax.lax.scan(body, state, None, length=n_steps)
 
-        self._run_chunk = jax.jit(run_chunk, static_argnums=1)
+        self._run_chunk = jax.jit(run_chunk, static_argnums=2)
 
         adaptive = None
         if config.adaptive and any(
@@ -385,7 +409,7 @@ class MR2T2:
                 )
 
         theta0 = jnp.asarray(init_theta, ATYPE)
-        nll0 = jax.jit(model.total_nll_batch)(theta0)
+        nll0 = jax.jit(lambda m, t: m.total_nll_batch(t))(model, theta0)
         self.state = ChainState(
             theta=theta0,
             nll=nll0,
@@ -424,7 +448,7 @@ class MR2T2:
         while done < n_steps:
             n = min(self.config.chunk_size, n_steps - done)
             t0 = time.perf_counter()
-            self.state, out = self._run_chunk(self.state, n)
+            self.state, out = self._run_chunk(self.model, self.state, n)
             host = {k: np.asarray(v) for k, v in out.items()}
             per_step = (time.perf_counter() - t0) / n
             host["step_time"] = np.full(n, per_step)

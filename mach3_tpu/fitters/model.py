@@ -72,11 +72,29 @@ class FitModel:
     # loop of per-block slices — measured ~1.7 ms/step of small-op overhead
     # at 256 chains. Per-block paths remain for breakdowns.
     flat: PriorModel | None = None
+    # STATIC osc-grid sharing map: osc_groups[i] = index of the first sample
+    # with an identical oscillation signature (-1 = no oscillation). Computed
+    # at build time from concrete arrays — the model is passed as a TRACED
+    # pytree argument to jitted steps, so signatures cannot be read at trace
+    # time (tracer arrays have no bytes).
+    osc_groups: tuple | None = struct.field(pytree_node=False, default=None)
 
     @property
     def n_params(self) -> int:
         start, size = self.slices[-1]
         return start + size
+
+    @staticmethod
+    def _compute_osc_groups(samples: Sequence[SampleModel]) -> tuple:
+        by_sig: dict = {}
+        groups = []
+        for i, s in enumerate(samples):
+            sig = s.osc_share_signature()
+            if sig is None:
+                groups.append(-1)
+            else:
+                groups.append(by_sig.setdefault(sig, i))
+        return tuple(groups)
 
     @classmethod
     def build(
@@ -94,6 +112,7 @@ class FitModel:
             samples=tuple(samples),
             slices=tuple(slices),
             flat=_flatten_priors(priors),
+            osc_groups=cls._compute_osc_groups(samples),
         )
 
     def prefit_vector(self) -> jnp.ndarray:
@@ -212,19 +231,23 @@ class FitModel:
 
         The reference shares NuOscillator calcers across samples/channels with
         equal binning — "up to 12x" time saving (``OscillationHandler.cpp:18-35``).
-        Grouping happens at trace time via host-side signatures; each unique
+        Grouping is STATIC (``osc_groups``, computed at build); each unique
         table is evaluated once per chain batch and handed to every sample in
         its group.
         """
+        groups = self.osc_groups
+        if groups is None:
+            # Legacy pytree without the static map: derive it now (requires
+            # concrete arrays, i.e. an unjitted/closure context).
+            groups = self._compute_osc_groups(self.samples)
         tables: list = [None] * len(self.samples)
-        by_sig: dict = {}
-        for i, s in enumerate(self.samples):
-            sig = s.osc_share_signature()
-            if sig is None:
+        cache: dict = {}
+        for i, g in enumerate(groups):
+            if g < 0:
                 continue
-            if sig not in by_sig:
-                by_sig[sig] = jax.vmap(s.osc_prob_grids)(thetas)
-            tables[i] = by_sig[sig]
+            if g not in cache:
+                cache[g] = jax.vmap(self.samples[g].osc_prob_grids)(thetas)
+            tables[i] = cache[g]
         return tables
 
     # Convenience for HMC/NUTS: differentiable log-density (no sentinel).
