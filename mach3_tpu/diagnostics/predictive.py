@@ -83,7 +83,7 @@ def run_predictive(
         cat_arrays = [jnp.asarray(c, jnp.int32) for c in categories]
         n_cats = max(int(np.max(np.asarray(c))) for c in categories) + 1
 
-    def one_toy(theta, k):
+    def one_toy(mdl, theta, k):
         spectra = []
         fluct = []
         by_mode = []
@@ -91,8 +91,8 @@ def run_predictive(
         llh_draw = jnp.zeros((), ATYPE)
         per_sample_data = []
         per_sample_draw = []
-        keys = jax.random.split(k, len(model.samples))
-        for i, (s, sk) in enumerate(zip(model.samples, keys)):
+        keys = jax.random.split(k, len(mdl.samples))
+        for i, (s, sk) in enumerate(zip(mdl.samples, keys)):
             if cat_arrays is not None:
                 from ..samples.binning import histogram as _hist
 
@@ -127,7 +127,11 @@ def run_predictive(
             tuple(by_mode),
         )
 
-    batched = jax.jit(jax.vmap(one_toy))
+    # The model rides as a jit argument (buffers, not HLO constants — the
+    # remote TPU compile service rejects constant-laden programs at scale).
+    batched = jax.jit(
+        lambda m, block, ks: jax.vmap(lambda t, k: one_toy(m, t, k))(block, ks)
+    )
     all_spec = [[] for _ in model.samples]
     all_fluct = [[] for _ in model.samples]
     all_by_mode = [[] for _ in model.samples]
@@ -137,7 +141,7 @@ def run_predictive(
         block = jnp.asarray(toys_theta[at : at + chunk], ATYPE)
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, block.shape[0])
-        spec, fluct, ld, lf, psd, psf, bym = batched(block, keys)
+        spec, fluct, ld, lf, psd, psf, bym = batched(model, block, keys)
         for i in range(len(model.samples)):
             all_spec[i].append(np.asarray(spec[i]))
             all_fluct[i].append(np.asarray(fluct[i]))

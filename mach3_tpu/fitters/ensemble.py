@@ -42,7 +42,7 @@ class EnsembleSampler:
         half = n_walkers // 2
         a = config.stretch_a
 
-        def half_update(theta_move, nll_move, theta_ref, key):
+        def half_update(mdl, theta_move, nll_move, theta_ref, key):
             """Stretch-move update of one half against the other."""
             k_z, k_pick, k_u = jax.random.split(key, 3)
             m = theta_move.shape[0]
@@ -52,7 +52,7 @@ class EnsembleSampler:
             pick = jax.random.randint(k_pick, (m,), 0, theta_ref.shape[0])
             anchor = theta_ref[pick]
             proposed = anchor + z[:, None] * (theta_move - anchor)
-            nll_prop = self.model.total_nll_batch(proposed)
+            nll_prop = mdl.total_nll_batch(proposed)
             # log acceptance: (d-1) log z + logp_prop - logp_curr
             log_acc = (n_params - 1.0) * jnp.log(z) - (nll_prop - nll_move)
             accept = (jnp.log(jax.random.uniform(k_u, (m,), ATYPE)) < log_acc) & (
@@ -62,22 +62,24 @@ class EnsembleSampler:
             nll_new = jnp.where(accept, nll_prop, nll_move)
             return theta_new, nll_new, accept
 
-        def step(state, key):
+        def step(mdl, state, key):
             theta, nll, n_acc = state
             k1, k2 = jax.random.split(key)
-            t0, n0, a0 = half_update(theta[:half], nll[:half], theta[half:], k1)
-            t1, n1, a1 = half_update(theta[half:], nll[half:], t0, k2)
+            t0, n0, a0 = half_update(mdl, theta[:half], nll[:half], theta[half:], k1)
+            t1, n1, a1 = half_update(mdl, theta[half:], nll[half:], t0, k2)
             theta = jnp.concatenate([t0, t1])
             nll = jnp.concatenate([n0, n1])
             n_acc = n_acc + jnp.concatenate([a0, a1]).astype(jnp.int32)
             return (theta, nll, n_acc), {"theta": theta, "nll": nll}
 
-        def run_chunk(state, keys):
-            return jax.lax.scan(step, state, keys)
+        # Model as a jit argument: tables ride as buffers, not HLO
+        # constants (see mcmc.make_step_fn_args).
+        def run_chunk(mdl, state, keys):
+            return jax.lax.scan(lambda s, k: step(mdl, s, k), state, keys)
 
         self._run_chunk = jax.jit(run_chunk)
         theta0 = jnp.asarray(init_theta, ATYPE)
-        nll0 = jax.jit(model.total_nll_batch)(theta0)
+        nll0 = jax.jit(lambda m, t: m.total_nll_batch(t))(model, theta0)
         self._state = (theta0, nll0, jnp.zeros((n_walkers,), jnp.int32))
         self._key = jax.random.key(seed)
         self._steps_done = 0
@@ -90,7 +92,7 @@ class EnsembleSampler:
             n = min(self.config.chunk_size, n_steps - done)
             self._key, sub = jax.random.split(self._key)
             keys = jax.random.split(sub, n)
-            self._state, out = self._run_chunk(self._state, keys)
+            self._state, out = self._run_chunk(self.model, self._state, keys)
             outs.append({k: np.asarray(v) for k, v in out.items()})
             done += n
         self._steps_done += done

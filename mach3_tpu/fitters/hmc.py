@@ -77,10 +77,14 @@ class HMC:
         self.model = model
         self.config = config
 
-        def logp_fn(theta):
-            return model.log_posterior(theta) + _bounds_logp(model, theta)
+        # All closures take the model as an explicit argument so the jitted
+        # chunk can pass it as a traced pytree (tables as buffers, not HLO
+        # constants; see mcmc.make_step_fn_args).
+        def logp_fn(mdl, theta):
+            return mdl.log_posterior(theta) + _bounds_logp(mdl, theta)
 
-        grad_fn = jax.grad(lambda t: model.log_posterior(t))
+        def grad_fn(mdl, t):
+            return jax.grad(lambda tt: mdl.log_posterior(tt))(t)
 
         # Mass matrix: diagonal, from the prior covariance (whitens scales).
         if config.mass_from_prior:
@@ -93,21 +97,21 @@ class HMC:
             minv = jnp.ones((model.n_params,), ATYPE)
         self.minv = minv
 
-        def leapfrog(theta, p, eps, n_active):
+        def leapfrog(mdl, theta, p, eps, n_active):
             """n_leapfrog integrator steps; steps beyond ``n_active`` are
             masked out (uniform compute, per-chain random trajectory length)."""
 
             def body(i, carry):
                 theta, p = carry
-                p2 = p + 0.5 * eps * grad_fn(theta)
+                p2 = p + 0.5 * eps * grad_fn(mdl, theta)
                 theta2 = theta + eps * minv * p2
-                p2 = p2 + 0.5 * eps * grad_fn(theta2)
+                p2 = p2 + 0.5 * eps * grad_fn(mdl, theta2)
                 keep = i < n_active
                 return jnp.where(keep, theta2, theta), jnp.where(keep, p2, p)
 
             return jax.lax.fori_loop(0, config.n_leapfrog, body, (theta, p))
 
-        def step_fn(state: HMCState):
+        def step_fn(mdl, state: HMCState):
             key, k_mom, k_acc, k_len = jax.random.split(state.key, 4)
             c = state.theta.shape[0]
             eps = jnp.exp(state.log_eps)
@@ -121,8 +125,8 @@ class HMC:
             def one_chain(theta, logp, km, na):
                 p0 = jax.random.normal(km, theta.shape, ATYPE) / jnp.sqrt(minv)
                 ke0 = 0.5 * jnp.sum(minv * p0 * p0)
-                theta_new, p_new = leapfrog(theta, p0, eps, na)
-                logp_new = logp_fn(theta_new)
+                theta_new, p_new = leapfrog(mdl, theta, p0, eps, na)
+                logp_new = logp_fn(mdl, theta_new)
                 ke_new = 0.5 * jnp.sum(minv * p_new * p_new)
                 log_ratio = (logp_new - ke_new) - (logp - ke0)
                 return theta_new, logp_new, jnp.minimum(0.0, log_ratio)
@@ -175,13 +179,17 @@ class HMC:
             )
             return new_state, {"theta": theta, "logp": logp, "accepted": accept}
 
-        def run_chunk(state, n):
-            return jax.lax.scan(lambda s, _: step_fn(s), state, None, length=n)
+        def run_chunk(mdl, state, n):
+            return jax.lax.scan(
+                lambda s, _: step_fn(mdl, s), state, None, length=n
+            )
 
-        self._run_chunk = jax.jit(run_chunk, static_argnums=1)
+        self._run_chunk = jax.jit(run_chunk, static_argnums=2)
 
         theta0 = jnp.asarray(init_theta, ATYPE)
-        logp0 = jax.jit(jax.vmap(logp_fn))(theta0)
+        logp0 = jax.jit(
+            lambda m, t: jax.vmap(lambda tt: logp_fn(m, tt))(t)
+        )(model, theta0)
         self.state = HMCState(
             theta=theta0,
             logp=logp0,
@@ -199,7 +207,7 @@ class HMC:
         done = 0
         while done < n_steps:
             n = min(self.config.chunk_size, n_steps - done)
-            self.state, out = self._run_chunk(self.state, n)
+            self.state, out = self._run_chunk(self.model, self.state, n)
             outs.append({k: np.asarray(v) for k, v in out.items()})
             done += n
         return {k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}

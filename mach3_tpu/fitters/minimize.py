@@ -39,14 +39,18 @@ def _chi2_fn(model: FitModel):
     — the sentinel-free path Minuit needs (``LikelihoodFit.cpp:98``)."""
 
     def chi2(theta: jnp.ndarray) -> jnp.ndarray:
-        total = jnp.zeros((), ATYPE)
-        for prior, (start, size) in zip(model.priors, model.slices):
-            block = jax.lax.dynamic_slice(theta, (start,), (size,))
-            d = jnp.where(prior.flat_prior, 0.0, block - prior.prefit)
-            total = total + 0.5 * d @ (prior.inv_cov @ d)
-        return 2.0 * (total + model.sample_nll(theta))
+        return _chi2_of(model, theta)
 
     return chi2
+
+
+def _chi2_of(mdl: FitModel, theta: jnp.ndarray) -> jnp.ndarray:
+    total = jnp.zeros((), ATYPE)
+    for prior, (start, size) in zip(mdl.priors, mdl.slices):
+        block = jax.lax.dynamic_slice(theta, (start,), (size,))
+        d = jnp.where(prior.flat_prior, 0.0, block - prior.prefit)
+        total = total + 0.5 * d @ (prior.inv_cov @ d)
+    return 2.0 * (total + mdl.sample_nll(theta))
 
 
 def bounds_of(model: FitModel) -> list[tuple[float, float]]:
@@ -68,8 +72,9 @@ def run_minimizer(
     """Migrad+Hesse equivalent (``MinuitFit.cpp:41-120``)."""
     from scipy.optimize import minimize
 
-    chi2 = _chi2_fn(model)
-    vg = jax.jit(jax.value_and_grad(chi2))
+    # Model as a jit argument: tables as buffers, not HLO constants.
+    vg_m = jax.jit(lambda m, t: jax.value_and_grad(lambda tt: _chi2_of(m, tt))(t))
+    vg = lambda t: vg_m(model, t)
 
     if x0 is None:
         x0 = np.asarray(model.prefit_vector())
@@ -101,7 +106,11 @@ def run_minimizer(
 
     cov = errors = None
     if run_hesse:
-        h = np.asarray(jax.jit(jax.hessian(chi2))(jnp.asarray(x_best)))
+        h = np.asarray(
+            jax.jit(lambda m, t: jax.hessian(lambda tt: _chi2_of(m, tt))(t))(
+                model, jnp.asarray(x_best)
+            )
+        )
         h_free = h[np.ix_(free, free)]
         try:
             # chi2 = 2*nll -> cov = 2 * H^-1 (H of chi2)

@@ -42,8 +42,13 @@ class PSOResult:
 def run_pso(
     model: FitModel, config: PSOConfig = PSOConfig(), seed: int = 0
 ) -> PSOResult:
-    chi2 = _chi2_fn(model)
-    chi2_batch = jax.vmap(chi2)
+    from .minimize import _chi2_of
+
+    # Model as a jit argument (buffers, not HLO constants).
+    chi2_batch_m = jax.jit(
+        lambda m, x: jax.vmap(lambda xx: _chi2_of(m, xx))(x)
+    )
+    chi2_batch = lambda x: chi2_batch_m(model, x)
     bounds = np.asarray(bounds_of(model))
     lo = jnp.asarray(bounds[:, 0], ATYPE)
     hi = jnp.asarray(bounds[:, 1], ATYPE)
@@ -67,7 +72,7 @@ def run_pso(
 
     f0 = chi2_batch(x0)
 
-    def step(carry, k):
+    def step(mdl, carry, k):
         x, v, pbest_x, pbest_f, gbest_x, gbest_f = carry
         k1, k2 = jax.random.split(k)
         r1 = jax.random.uniform(k1, (n, p), ATYPE)
@@ -78,7 +83,7 @@ def run_pso(
             + config.social * r2 * (gbest_x[None, :] - x)
         )
         x = jnp.clip(x + v, lo, hi)
-        f = chi2_batch(x)
+        f = jax.vmap(lambda xx: _chi2_of(mdl, xx))(x)
         better = f < pbest_f
         pbest_x = jnp.where(better[:, None], x, pbest_x)
         pbest_f = jnp.where(better, f, pbest_f)
@@ -91,8 +96,8 @@ def run_pso(
     carry0 = (x0, v0, x0, f0, x0[i0], f0[i0])
     keys = jax.random.split(k_run, config.n_iterations)
     (x, v, pbx, pbf, gx, gf), hist = jax.jit(
-        lambda c, ks: jax.lax.scan(step, c, ks)
-    )(carry0, keys)
+        lambda m, c, ks: jax.lax.scan(lambda cc, kk: step(m, cc, kk), c, ks)
+    )(model, carry0, keys)
 
     _log.info("PSO: chi2 %.4f after %d iterations", float(gf), config.n_iterations)
     return PSOResult(x=np.asarray(gx), chi2=float(gf), history=np.asarray(hist))

@@ -28,6 +28,15 @@ from .model import FitModel
 _log = get_logger("scans")
 
 
+def _jit_vmap_with_model(model, fn, *args):
+    """vmap ``fn(model, *row)`` over ``args`` with the model passed as a jit
+    ARGUMENT: its (GB-scale at reference size) tables travel as device
+    buffers instead of baked HLO constants, which the remote TPU compile
+    service rejects (see ``mcmc.make_step_fn_args``)."""
+    g = jax.jit(lambda m, *a: jax.vmap(lambda *r: fn(m, *r))(*a))
+    return g(model, *args)
+
+
 def _scan_grid(
     model: FitModel, indices: Sequence[int], n_points: int, n_sigma: float
 ) -> np.ndarray:
@@ -71,14 +80,14 @@ def llh_scan_1d(
     val_arr = jnp.asarray(grid.reshape(-1), ATYPE)
     base = jnp.asarray(prefit, ATYPE)
 
-    def eval_point(i, v):
+    def eval_point(m, i, v):
         theta = base.at[i].set(v)
         return (
-            model.prior_nll(theta),
-            model.sample_nll_breakdown(theta),
+            m.prior_nll(theta),
+            m.sample_nll_breakdown(theta),
         )
 
-    penalty, samples = jax.jit(jax.vmap(eval_point))(idx_arr, val_arr)
+    penalty, samples = _jit_vmap_with_model(model, eval_point, idx_arr, val_arr)
     penalty = np.asarray(penalty).reshape(len(indices), n_points)
     samples = np.asarray(samples).reshape(len(indices), n_points, -1)
     total = penalty + samples.sum(axis=-1)
@@ -98,12 +107,13 @@ def llh_scan_2d(
     xx, yy = np.meshgrid(gx, gy, indexing="ij")
     base = jnp.asarray(np.asarray(model.prefit_vector()), ATYPE)
 
-    def eval_point(vx, vy):
+    def eval_point(m, vx, vy):
         theta = base.at[index_x].set(vx).at[index_y].set(vy)
-        return model.total_nll(theta)
+        return m.total_nll(theta)
 
-    total = jax.jit(jax.vmap(eval_point))(
-        jnp.asarray(xx.reshape(-1), ATYPE), jnp.asarray(yy.reshape(-1), ATYPE)
+    total = _jit_vmap_with_model(
+        model, eval_point,
+        jnp.asarray(xx.reshape(-1), ATYPE), jnp.asarray(yy.reshape(-1), ATYPE),
     )
     return {
         "x": gx,
@@ -123,11 +133,11 @@ def llh_map(
     base = jnp.asarray(np.asarray(model.prefit_vector()), ATYPE)
     idx = jnp.asarray(list(indices), jnp.int32)
 
-    def eval_point(vals):
+    def eval_point(m, vals):
         theta = base.at[idx].set(vals)
-        return model.total_nll(theta)
+        return m.total_nll(theta)
 
-    total = jax.jit(jax.vmap(eval_point))(jnp.asarray(flat, ATYPE))
+    total = _jit_vmap_with_model(model, eval_point, jnp.asarray(flat, ATYPE))
     return {
         "grids": grids,
         "total": np.asarray(total).reshape([points_per_axis] * len(indices)),
@@ -185,12 +195,12 @@ def sigma_variations(
     idx_arr = jnp.asarray(np.repeat(indices, len(sigmas)), jnp.int32)
     val_arr = jnp.asarray(grid.reshape(-1), ATYPE)
 
-    def eval_point(i, v):
+    def eval_point(smp, i, v):
         theta = base.at[i].set(v)
-        mc, _ = sample.reweight(theta)
+        mc, _ = smp.reweight(theta)
         return mc
 
-    hists = jax.jit(jax.vmap(eval_point))(idx_arr, val_arr)
+    hists = _jit_vmap_with_model(sample, eval_point, idx_arr, val_arr)
     return {
         "sigmas": np.asarray(sigmas),
         "values": grid,
@@ -217,14 +227,25 @@ def drag_race(model: FitModel, n_laps: int = 20, n_chains: int = 8) -> dict[str,
 
     for i, s in enumerate(model.samples):
         # Batched paths — the same code the MCMC step runs (fused Pallas
-        # kernel when enabled), not a vmap of the single-chain path.
-        timeit(f"reweight[{s.name}]", jax.jit(lambda t, s=s: s.reweight_batch(t)[0]), theta)
+        # kernel when enabled), not a vmap of the single-chain path. The
+        # sample/model ride as jit arguments (buffers, not HLO constants).
         timeit(
-            f"likelihood[{s.name}]", jax.jit(lambda t, s=s: s.log_likelihood_batch(t)), theta
+            f"reweight[{s.name}]",
+            jax.jit(lambda m, t: m.reweight_batch(t)[0]), s, theta,
+        )
+        timeit(
+            f"likelihood[{s.name}]",
+            jax.jit(lambda m, t: m.log_likelihood_batch(t)), s, theta,
         )
     keys = jax.random.split(key, n_chains)
-    timeit("propose", jax.jit(jax.vmap(model.propose)), theta, keys)
-    timeit("prior_nll", jax.jit(jax.vmap(model.prior_nll)), theta)
+    timeit(
+        "propose",
+        jax.jit(lambda m, t, k: jax.vmap(m.propose)(t, k)), model, theta, keys,
+    )
+    timeit(
+        "prior_nll",
+        jax.jit(lambda m, t: jax.vmap(m.prior_nll)(t)), model, theta,
+    )
     for name, t in timings.items():
         _log.info("DragRace %-28s %.3f ms/call (%d chains)", name, 1e3 * t, n_chains)
     return timings

@@ -144,11 +144,7 @@ def choose_kernel_route(
                 "mask-reduce (shifted) variant",
             )
         if p > MAX_UNROLL_PARAMS:
-            return _fallback(
-                requested,
-                f"P={p} > {MAX_UNROLL_PARAMS} spline params for the unrolled "
-                "shifted variant (no blocked formulation)",
-            )
+            pt = PARAM_TILE  # blocked formulation, same as shared
     else:
         variant, ct, bp = "generic", 16, _pad128(n_bins)
         if n_bins > MAX_MASKREDUCE_BINS:

@@ -415,6 +415,8 @@ class SampleModel:
         if self.kernel_shift is not None:
             from ..splines.pallas_reweight import fused_reweight_histogram_shifted
 
+            if self.kernel_route is not None:
+                tiles["param_tile"] = self.kernel_route.param_tile
             fn, param_index, edges, stride_j, n_axis_j = self.kernel_shift
             norm_kwargs = {}
             if norm_in_kernel:

@@ -310,7 +310,20 @@ def _kernel_maskreduce_shifted(
     if has_norm:
         w = w * _norm_weight(logext_ref, negext_ref, norm_s_ref)
 
-    # Shifted value per (chain, event), then the unrolled searchsorted.
+    _shifted_bin_histogram(
+        w, shiftv_ref, xnom_ref, static_ref, mc_ref, w2_ref,
+        n_bins=n_bins, shift_fn=shift_fn, edges=edges,
+        stride_j=stride_j, n_axis_j=n_axis_j,
+    )
+
+
+def _shifted_bin_histogram(
+    w, shiftv_ref, xnom_ref, static_ref, mc_ref, w2_ref,
+    *, n_bins, shift_fn, edges, stride_j, n_axis_j,
+):
+    """Shared tail of the shifted variants: in-kernel shifted-axis binning
+    (baked edges, unrolled compare-accumulate searchsorted) + mask-reduce
+    histogram accumulation into the resident output blocks."""
     x = shift_fn(shiftv_ref[:], xnom_ref[:])  # [CT, 1] x [1, ET] -> [CT, ET]
     idx = jnp.full(x.shape, -1, jnp.int32)
     for e_k in edges:
@@ -337,11 +350,57 @@ def _kernel_maskreduce_shifted(
     w2_ref[:] += jnp.concatenate(cols_w2, axis=1)
 
 
+def _kernel_shifted_blocked(
+    selector_ref, base_ref, shiftv_ref, xnom_ref, static_ref, coeffs_ref,
+    *refs,
+    p_tile, n_ptiles, n_bins, shift_fn, edges, stride_j, n_axis_j, has_norm,
+):
+    """Param-BLOCKED shifted variant (reference-scale P): innermost grid axis
+    streams [PT, K4, ET] coefficient blocks into a persistent [CT, ET]
+    product scratch; the norm product, shifted binning, and mask-reduce
+    histogram fire on the last param tile. See ``_kernel_shared_blocked``."""
+    if has_norm:
+        logext_ref, negext_ref, norm_s_ref, mc_ref, w2_ref, w_ref = refs
+    else:
+        mc_ref, w2_ref, w_ref = refs
+    ee = pl.program_id(1)
+    pe = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(ee == 0, pe == 0))
+    def _():
+        mc_ref[:] = jnp.zeros_like(mc_ref)
+        w2_ref[:] = jnp.zeros_like(w2_ref)
+
+    @pl.when(pe == 0)
+    def _():
+        w_ref[:] = base_ref[:]
+
+    w = w_ref[:]
+    for p in range(p_tile):
+        resp = jax.lax.dot_general(
+            selector_ref[:, p, :],
+            coeffs_ref[p],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        w = w * resp
+    w_ref[:] = w
+
+    @pl.when(pe == n_ptiles - 1)
+    def _():
+        wf = w * _norm_weight(logext_ref, negext_ref, norm_s_ref) if has_norm else w
+        _shifted_bin_histogram(
+            wf, shiftv_ref, xnom_ref, static_ref, mc_ref, w2_ref,
+            n_bins=n_bins, shift_fn=shift_fn, edges=edges,
+            stride_j=stride_j, n_axis_j=n_axis_j,
+        )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_bins", "shift_fn", "edges", "stride_j", "n_axis_j",
-        "chain_tile", "event_tile",
+        "chain_tile", "event_tile", "param_tile",
     ),
 )
 def fused_reweight_histogram_shifted(
@@ -358,17 +417,27 @@ def fused_reweight_histogram_shifted(
     n_axis_j: int,
     chain_tile: int = 16,
     event_tile: int = 2048,
+    param_tile: int | None = None,
     norm_ext: jnp.ndarray | None = None,  # [C, NPp1] extended norm values
     norm_s: jnp.ndarray | None = None,  # [NPp1, E] f32 static match counts
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Mask-reduce kernel with in-kernel shifted-axis binning (and, when
     ``norm_ext``/``norm_s`` are given, the in-kernel norm product). Returns
-    (mc [C, B], w2 [C, B]) in f32."""
+    (mc [C, B], w2 [C, B]) in f32.
+
+    param_tile: when set (and < P) use the param-blocked formulation —
+    required at reference-scale spline counts."""
     c, p, k4 = selector.shape
     e = coeffs.shape[2]
     selector = selector.astype(coeffs.dtype)
     bp = -(-n_bins // 128) * 128
     has_norm = norm_ext is not None
+    if param_tile is not None and param_tile < p:
+        return _shifted_blocked_call(
+            selector, coeffs, base_w, shift_vals, x_nom, static_base,
+            n_bins, shift_fn, edges, stride_j, n_axis_j,
+            chain_tile, event_tile, param_tile, norm_ext, norm_s,
+        )
     cpad = -c % chain_tile
     epad = -e % event_tile
     if cpad:
@@ -456,6 +525,124 @@ def fused_reweight_histogram_shifted(
             jax.ShapeDtypeStruct((cp, bp), jnp.float32),
             jax.ShapeDtypeStruct((cp, bp), jnp.float32),
         ),
+    )(*args)
+    return mc[:c, :n_bins], w2[:c, :n_bins]
+
+
+def _shifted_blocked_call(
+    selector, coeffs, base_w, shift_vals, x_nom, static_base,
+    n_bins, shift_fn, edges, stride_j, n_axis_j,
+    chain_tile, event_tile, param_tile, norm_ext, norm_s,
+):
+    """Padding + pallas_call for the param-blocked shifted kernel."""
+    c, p, k4 = selector.shape
+    e = coeffs.shape[2]
+    bp = -(-n_bins // 128) * 128
+    has_norm = norm_ext is not None
+    cpad = -c % chain_tile
+    epad = -e % event_tile
+    ppad = -p % param_tile
+    if cpad:
+        selector = jnp.pad(selector, ((0, cpad), (0, 0), (0, 0)))
+        base_w = jnp.pad(base_w, ((0, cpad), (0, 0)))
+        shift_vals = jnp.pad(shift_vals, ((0, cpad),))
+        if has_norm:
+            norm_ext = jnp.pad(norm_ext, ((0, cpad), (0, 0)), constant_values=1.0)
+    if epad:
+        coeffs = jnp.pad(coeffs, ((0, 0), (0, 0), (0, epad)))
+        base_w = jnp.pad(base_w, ((0, 0), (0, epad)))
+        x_nom = jnp.pad(x_nom, ((0, epad),))
+        static_base = jnp.pad(static_base, ((0, epad),), constant_values=-1)
+        if has_norm:
+            norm_s = jnp.pad(norm_s, ((0, 0), (0, epad)))
+    if ppad:
+        # Identity-response padding (selector e0 row x coefficient-1 row).
+        sel_pad = jnp.zeros((selector.shape[0], ppad, k4), selector.dtype)
+        sel_pad = sel_pad.at[:, :, 0].set(1)
+        selector = jnp.concatenate([selector, sel_pad], axis=1)
+        co_pad = jnp.zeros((ppad, k4, coeffs.shape[2]), coeffs.dtype)
+        co_pad = co_pad.at[:, 0, :].set(1)
+        coeffs = jnp.concatenate([coeffs, co_pad], axis=0)
+    cp, ep, pp = c + cpad, e + epad, p + ppad
+    shift2d = shift_vals[:, None].astype(jnp.float32)
+    xnom2d = x_nom[None, :].astype(jnp.float32)
+    static2d = static_base[None, :].astype(jnp.int32)
+
+    n_ptiles = pp // param_tile
+    grid = (cp // chain_tile, ep // event_tile, n_ptiles)
+    kernel = functools.partial(
+        _kernel_shifted_blocked,
+        p_tile=param_tile, n_ptiles=n_ptiles, n_bins=n_bins,
+        shift_fn=shift_fn, edges=edges, stride_j=stride_j,
+        n_axis_j=n_axis_j, has_norm=has_norm,
+    )
+    i32 = jnp.int32
+    in_specs = [
+        pl.BlockSpec(
+            (chain_tile, param_tile, k4),
+            lambda ce, ee, pe: (ce, pe, i32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (chain_tile, event_tile),
+            lambda ce, ee, pe: (ce, ee),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (chain_tile, 1),
+            lambda ce, ee, pe: (ce, i32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, event_tile),
+            lambda ce, ee, pe: (i32(0), ee),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, event_tile),
+            lambda ce, ee, pe: (i32(0), ee),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (param_tile, k4, event_tile),
+            lambda ce, ee, pe: (pe, i32(0), ee),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [selector, base_w, shift2d, xnom2d, static2d, coeffs]
+    if has_norm:
+        npp1 = norm_ext.shape[1]
+        absext = jnp.maximum(jnp.abs(norm_ext.astype(jnp.float32)), 1e-30)
+        args.append(jnp.log(absext))
+        args.append((norm_ext < 0).astype(jnp.float32))
+        args.append(norm_s.astype(jnp.float32))
+        in_specs.append(
+            pl.BlockSpec((chain_tile, npp1), lambda ce, ee, pe: (ce, i32(0)),
+                         memory_space=pltpu.VMEM)
+        )
+        in_specs.append(
+            pl.BlockSpec((chain_tile, npp1), lambda ce, ee, pe: (ce, i32(0)),
+                         memory_space=pltpu.VMEM)
+        )
+        in_specs.append(
+            pl.BlockSpec((npp1, event_tile), lambda ce, ee, pe: (i32(0), ee),
+                         memory_space=pltpu.VMEM)
+        )
+    mc, w2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((chain_tile, bp), lambda ce, ee, pe: (ce, i32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chain_tile, bp), lambda ce, ee, pe: (ce, i32(0)),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((cp, bp), jnp.float32),
+            jax.ShapeDtypeStruct((cp, bp), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((chain_tile, event_tile), jnp.float32)],
     )(*args)
     return mc[:c, :n_bins], w2[:c, :n_bins]
 

@@ -11,9 +11,8 @@ Default shape:
   1,152 bins, no functional shift -> static bins -> param-BLOCKED fused
   kernel (``pallas_reweight._kernel_shared_blocked``).
 * ``nue_beam`` — 60k events, 1-D E_reco binning, one energy-scale functional
-  shift on the binned axis -> the shifted mask-reduce kernel is statically
-  infeasible at this parameter count, so automatic routing sends it down the
-  XLA path (this is deliberate: the fixture exercises every route).
+  shift on the binned axis -> the param-BLOCKED shifted kernel (in-kernel
+  shifted binning + log-matmul norm product, coefficient blocks streamed).
 * ``atmo`` — 200k events, 2-D (log10 E_reco x cosZ_reco) binning, 40x25 =
   1,000 bins, layered-PREM oscillation over an (E, cosZ) grid, static bins
   -> param-blocked fused kernel.

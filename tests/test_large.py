@@ -38,8 +38,9 @@ def test_shape_claims(large):
 
 
 def test_routing_at_scale(large):
-    """CPU build: all XLA. With Pallas requested the 2-D static samples take
-    the param-blocked shared kernel and the shifted nue sample falls back."""
+    """CPU build: all XLA. With Pallas requested every sample takes a
+    param-BLOCKED kernel (shared for the static 2-D samples, shifted for the
+    energy-scale nue sample) — P > 16 everywhere."""
     from mach3_tpu.samples.routing import choose_kernel_route
 
     for s in large.samples:
@@ -50,11 +51,9 @@ def test_routing_at_scale(large):
             has_kernel_shift=s.kernel_shift is not None,
             requested=True,
         )
-        if s.name == "nue_beam":
-            assert not r.use_pallas  # P > unroll limit for the shifted variant
-        else:
-            assert r.use_pallas and r.variant == "shared"
-            assert r.param_tile is not None  # P > 16 -> blocked kernel
+        assert r.use_pallas
+        assert r.variant == ("shifted" if s.name == "nue_beam" else "shared")
+        assert r.param_tile is not None  # P > 16 -> blocked kernel
 
 
 def test_asimov_nll_zero_at_prefit(large):

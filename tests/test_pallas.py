@@ -194,6 +194,61 @@ def test_shared_blocked_matches_unrolled(interp):
     pr.fused_reweight_histogram_shared.clear_cache()
 
 
+def test_shifted_blocked_matches_unrolled(interp):
+    """Param-blocked SHIFTED kernel (streamed coefficients + in-kernel
+    shifted binning + in-kernel norm product) equals the unrolled shifted
+    kernel and the XLA path at P not a multiple of the tile."""
+    rng = np.random.default_rng(31)
+    n_events, n_chains, n_params = 260, 3, 21
+    specs = []
+    for p in range(n_params):
+        y = 1.0 + 0.04 * rng.normal(size=(n_events, 5)).cumsum(axis=1)
+        specs.append(
+            SplineParamSpec(
+                name=f"p{p}", param_index=p,
+                x_knots=np.array([-2.0, -1.0, 0.0, 1.0, 2.0]),
+                event_ids=np.arange(n_events), y_knots=y,
+            )
+        )
+    table = build_dense_table(specs, n_events)
+    base_w = jnp.asarray(rng.random((n_chains, n_events)), jnp.float32)
+    params = jnp.asarray(0.2 * rng.normal(size=(n_chains, n_params)))
+    x_nom = jnp.asarray(rng.uniform(0.1, 1.9, n_events), jnp.float32)
+    static_base = jnp.zeros((n_events,), jnp.int32)
+    edges = tuple(np.linspace(0.0, 2.0, 9))
+    shift_vals = jnp.asarray(0.05 * rng.normal(size=n_chains), jnp.float32)
+
+    def shift_fn(v, x):
+        return x * (1.0 + v)
+
+    sel = pr.spline_selector(table, params)
+    coeffs = table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3])
+    kwargs = dict(
+        n_bins=8, shift_fn=shift_fn, edges=edges, stride_j=1, n_axis_j=8,
+        chain_tile=2, event_tile=128,
+    )
+    mc_u, w2_u = pr.fused_reweight_histogram_shifted(
+        sel, coeffs, base_w, shift_vals, x_nom, static_base, **kwargs
+    )
+    mc_b, w2_b = pr.fused_reweight_histogram_shifted(
+        sel, coeffs, base_w, shift_vals, x_nom, static_base,
+        param_tile=8, **kwargs,
+    )
+    np.testing.assert_allclose(np.asarray(mc_b), np.asarray(mc_u), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w2_b), np.asarray(w2_u), rtol=2e-5, atol=1e-5)
+    # XLA reference
+    resp = jax.vmap(lambda p: eval_dense(table, p))(params)
+    w = base_w * resp
+    shifted_x = jax.vmap(lambda v: shift_fn(v, x_nom))(shift_vals)  # [C, E]
+    bins = np.digitize(np.asarray(shifted_x), np.asarray(edges)) - 1
+    bins = np.where((bins >= 0) & (bins < 8), bins, 8)
+    mc_r = jax.vmap(lambda wi, bi: histogram(wi, jnp.asarray(bi), 8)[0])(
+        w, jnp.asarray(bins, jnp.int32)
+    )
+    np.testing.assert_allclose(np.asarray(mc_b), np.asarray(mc_r), rtol=2e-5, atol=1e-5)
+    pr.fused_reweight_histogram_shifted.clear_cache()
+
+
 def test_static_bins_paths_agree():
     """A shift-free sample gets a precomputed static_bins map from
     build_sample_model and reweights identically to the dynamic path; the
