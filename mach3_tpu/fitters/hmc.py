@@ -43,6 +43,15 @@ class HMCConfig:
     target_accept: float = 0.8
     adapt_steps: int = 200
     mass_from_prior: bool = True  # mass matrix = inverse prior covariance diag
+    # Stan-style windowed mass adaptation: during the adaptation window,
+    # pooled (cross-chain) Welford moments of theta estimate the posterior
+    # variance; the diagonal inverse mass is refreshed from it every
+    # ``mass_update_every`` steps. The reference has no HMC at all; this is
+    # the HMC analogue of the Haario covariance adaptation the parameter
+    # handler gives every other fitter (AdaptiveMCMCHandler.cpp:332-400).
+    adapt_mass: bool = True
+    mass_update_every: int = 50
+    mass_start_update: int = 25
     # Randomised trajectory length (jittered HMC): per chain per step, the
     # number of leapfrog steps is drawn uniformly from [1, n_leapfrog]. This
     # removes the resonance pathologies NUTS exists to fix while keeping the
@@ -61,6 +70,11 @@ class HMCState:
     log_eps: jnp.ndarray
     log_eps_bar: jnp.ndarray
     h_bar: jnp.ndarray
+    # adaptive diagonal inverse mass + pooled Welford moments
+    minv: jnp.ndarray  # [P]
+    mass_mean: jnp.ndarray  # [P]
+    mass_m2: jnp.ndarray  # [P]
+    mass_n: jnp.ndarray  # scalar f64
 
 
 def _bounds_logp(model: FitModel, theta: jnp.ndarray) -> jnp.ndarray:
@@ -97,14 +111,14 @@ class HMC:
             minv = jnp.ones((model.n_params,), ATYPE)
         self.minv = minv
 
-        def leapfrog(mdl, theta, p, eps, n_active):
+        def leapfrog(mdl, theta, p, eps, n_active, minv_t):
             """n_leapfrog integrator steps; steps beyond ``n_active`` are
             masked out (uniform compute, per-chain random trajectory length)."""
 
             def body(i, carry):
                 theta, p = carry
                 p2 = p + 0.5 * eps * grad_fn(mdl, theta)
-                theta2 = theta + eps * minv * p2
+                theta2 = theta + eps * minv_t * p2
                 p2 = p2 + 0.5 * eps * grad_fn(mdl, theta2)
                 keep = i < n_active
                 return jnp.where(keep, theta2, theta), jnp.where(keep, p2, p)
@@ -122,12 +136,14 @@ class HMC:
             else:
                 n_active = jnp.full((c,), config.n_leapfrog, jnp.int32)
 
+            minv_t = state.minv
+
             def one_chain(theta, logp, km, na):
-                p0 = jax.random.normal(km, theta.shape, ATYPE) / jnp.sqrt(minv)
-                ke0 = 0.5 * jnp.sum(minv * p0 * p0)
-                theta_new, p_new = leapfrog(mdl, theta, p0, eps, na)
+                p0 = jax.random.normal(km, theta.shape, ATYPE) / jnp.sqrt(minv_t)
+                ke0 = 0.5 * jnp.sum(minv_t * p0 * p0)
+                theta_new, p_new = leapfrog(mdl, theta, p0, eps, na, minv_t)
                 logp_new = logp_fn(mdl, theta_new)
-                ke_new = 0.5 * jnp.sum(minv * p_new * p_new)
+                ke_new = 0.5 * jnp.sum(minv_t * p_new * p_new)
                 log_ratio = (logp_new - ke_new) - (logp - ke0)
                 return theta_new, logp_new, jnp.minimum(0.0, log_ratio)
 
@@ -167,6 +183,37 @@ class HMC:
                 state.step == config.adapt_steps, log_eps_bar, log_eps
             )
 
+            # Pooled Welford moments of the accepted positions; the inverse
+            # mass refreshes from the variance estimate on the update cadence
+            # (only inside the adaptation window).
+            in_mass = (
+                (state.step >= config.mass_start_update)
+                & (state.step < config.adapt_steps)
+                & jnp.asarray(config.adapt_mass)
+            )
+            cnt = state.mass_n + jnp.where(in_mass, float(c), 0.0)
+            batch_mean = jnp.mean(theta, axis=0)
+            delta = batch_mean - state.mass_mean
+            safe_cnt = jnp.maximum(cnt, 1.0)
+            mean_new = state.mass_mean + jnp.where(
+                in_mass, delta * (c / safe_cnt), 0.0
+            )
+            # Exact parallel (Chan et al.) batch Welford: batch scatter plus
+            # the between-means cross term.
+            dev_b = theta - batch_mean[None, :]
+            m2_b = jnp.sum(dev_b * dev_b, axis=0)
+            cross = delta * delta * state.mass_n * c / safe_cnt
+            m2_new = state.mass_m2 + jnp.where(in_mass, m2_b + cross, 0.0)
+            refresh = (
+                in_mass
+                & (cnt > 2.0 * c)
+                & (jnp.mod(state.step, config.mass_update_every) == 0)
+            )
+            var_est = m2_new / jnp.maximum(cnt - 1.0, 1.0)
+            minv_new = jnp.where(
+                refresh, jnp.maximum(var_est, 1e-12 * jnp.max(var_est)), state.minv
+            )
+
             new_state = HMCState(
                 theta=theta,
                 logp=logp,
@@ -176,6 +223,10 @@ class HMC:
                 log_eps=log_eps,
                 log_eps_bar=log_eps_bar,
                 h_bar=h_bar,
+                minv=minv_new,
+                mass_mean=mean_new,
+                mass_m2=m2_new,
+                mass_n=cnt,
             )
             return new_state, {"theta": theta, "logp": logp, "accepted": accept}
 
@@ -199,6 +250,10 @@ class HMC:
             log_eps=jnp.log(jnp.asarray(config.step_size, ATYPE)),
             log_eps_bar=jnp.log(jnp.asarray(config.step_size, ATYPE)),
             h_bar=jnp.asarray(0.0, ATYPE),
+            minv=minv,
+            mass_mean=jnp.zeros((model.n_params,), ATYPE),
+            mass_m2=jnp.zeros((model.n_params,), ATYPE),
+            mass_n=jnp.asarray(0.0, ATYPE),
         )
 
     def run(self, n_steps: int | None = None) -> dict[str, np.ndarray]:
