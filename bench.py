@@ -96,11 +96,14 @@ def main() -> None:
         from mach3_tpu.diagnostics.autocorr import effective_sample_size
 
         draws = out["theta"]  # [S, C, P]
-        ess_per_param = np.asarray(
-            jax.jit(jax.vmap(effective_sample_size, in_axes=1, out_axes=0))(
-                jnp.asarray(draws)
-            )
-        )  # [C, P] per chain
+        # ESS runs on CPU: it is offline post-processing, and the FFT
+        # autocorrelation does not lower through the remote TPU compile path.
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            ess_per_param = np.asarray(
+                jax.jit(jax.vmap(effective_sample_size, in_axes=1, out_axes=0))(
+                    jnp.asarray(draws)
+                )
+            )  # [C, P] per chain
         ess_total = ess_per_param.sum(axis=0)  # pooled over chains
         wall_hours = dt / 3600.0
         extras["ess_per_hour"] = {

@@ -420,7 +420,10 @@ def build_large(
             build_device = jax.local_devices()[0]
         with jax.default_device(build_device):
             theta0 = model.prefit_vector()
-            data = [np.asarray(jax.jit(s.asimov_data)(theta0)) for s in samples]
+            data = [
+                np.asarray(jax.jit(lambda m, t: m.asimov_data(t))(s, theta0))
+                for s in samples
+            ]  # sample as a jit ARG: avoids constant-folding the tables
         samples = [s.with_data(a) for s, a in zip(samples, data)]
         model = FitModel.build([xsec, osc], samples)
 

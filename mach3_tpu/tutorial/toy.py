@@ -341,7 +341,10 @@ def build_toy(
         build_device = jax.local_devices()[0]
     with jax.default_device(build_device):
         theta0 = model.prefit_vector()
-        asimov = [np.asarray(jax.jit(s.asimov_data)(theta0)) for s in samples]
+        asimov = [
+            np.asarray(jax.jit(lambda m, t: m.asimov_data(t))(s, theta0))
+            for s in samples
+        ]  # sample as a jit ARG: avoids constant-folding the tables
     samples = [s.with_data(a) for s, a in zip(samples, asimov)]
     model = FitModel.build([xsec, osc], samples)
 
