@@ -130,6 +130,10 @@ def test_two_process_sharded_fit_and_merge(tmp_path):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env["JAX_ENABLE_X64"] = "1"
+    # The worker script lives in tmp_path; make the repo importable regardless
+    # of whether mach3_tpu is installed.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), coord, pattern],
