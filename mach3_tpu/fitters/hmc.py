@@ -57,6 +57,19 @@ class HMCConfig:
     # removes the resonance pathologies NUTS exists to fix while keeping the
     # uniform-compute, scan-friendly structure (Neal 2011 §3.2 jittering).
     jitter_trajectory: bool = True
+    # ChEES trajectory-length adaptation (Hoffman, Radul & Sountsov 2021):
+    # learn the mean trajectory TIME by Adam ascent on the Change-in-the-
+    # Estimator-of-the-Expected-Square criterion, whose gradient estimate
+    # pools the whole chain batch — a cross-chain capability that exists
+    # BECAUSE chains are a batch axis here (the TPU-native answer to NUTS,
+    # whose per-chain recursive doubling is hostile to SIMD/XLA). When on,
+    # every chain shares one halton-jittered trajectory length per step
+    # (uniform compute) and ``n_leapfrog``/``jitter_trajectory`` are ignored
+    # in favour of [1, max_leapfrog] dynamic lengths.
+    adapt_trajectory: bool = False
+    max_leapfrog: int = 128
+    traj_learning_rate: float = 0.025
+    initial_traj_length: float | None = None  # default: 4 * step_size
 
 
 @struct.dataclass
@@ -75,6 +88,25 @@ class HMCState:
     mass_mean: jnp.ndarray  # [P]
     mass_m2: jnp.ndarray  # [P]
     mass_n: jnp.ndarray  # scalar f64
+    # ChEES trajectory adaptation (scalars; zeros when disabled)
+    log_traj: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.0))
+    log_traj_bar: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.0))
+    traj_m: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.0))
+    traj_v: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(0.0))
+
+
+def _halton2(i: jnp.ndarray, bits: int = 16) -> jnp.ndarray:
+    """Base-2 radical inverse of the (traced) step index — the quasi-random
+    jitter stream of ChEES-HMC. Low-discrepancy beats iid uniform here: the
+    trajectory lengths tile (0, 1) evenly so no resonance survives."""
+    i = i.astype(jnp.int32)
+    r = jnp.zeros((), ATYPE)
+    f = 0.5
+    for _ in range(bits):
+        r = r + f * (i & 1).astype(ATYPE)
+        i = i >> 1
+        f = f * 0.5
+    return r
 
 
 def _bounds_logp(model: FitModel, theta: jnp.ndarray) -> jnp.ndarray:
@@ -111,46 +143,68 @@ class HMC:
             minv = jnp.ones((model.n_params,), ATYPE)
         self.minv = minv
 
-        def leapfrog(mdl, theta, p, eps, n_active, minv_t):
-            """n_leapfrog integrator steps; steps beyond ``n_active`` are
-            masked out (uniform compute, per-chain random trajectory length)."""
+        def grad_batch(mdl, theta):  # [C, P] -> [C, P]
+            return jax.vmap(lambda t: grad_fn(mdl, t))(theta)
+
+        def masked_leapfrog(mdl, theta, p, eps, n_active, minv_t, n_max):
+            """Velocity-Verlet over the chain batch with per-chain active
+            masking: chain c integrates exactly ``n_active[c]`` steps. The
+            half-kicks of consecutive steps are fused, so a trajectory of N
+            steps costs N+1 gradient evaluations (the naive per-step
+            half/full/half form costs 2N). ``n_max`` may be a python int
+            (static unroll bound) or a traced scalar (ChEES dynamic length;
+            ``fori_loop`` lowers to ``while_loop``)."""
+            p = p + 0.5 * eps * grad_batch(mdl, theta)
 
             def body(i, carry):
                 theta, p = carry
-                p2 = p + 0.5 * eps * grad_fn(mdl, theta)
-                theta2 = theta + eps * minv_t * p2
-                p2 = p2 + 0.5 * eps * grad_fn(mdl, theta2)
-                keep = i < n_active
-                return jnp.where(keep, theta2, theta), jnp.where(keep, p2, p)
+                act = (i < n_active).astype(theta.dtype)[:, None]
+                theta = theta + eps * minv_t[None, :] * p * act
+                g = grad_batch(mdl, theta)
+                # full kick while inside the trajectory, half kick on the
+                # last step, nothing after (momentum frozen once done)
+                kick = jnp.where(
+                    i < n_active - 1, 1.0, jnp.where(i == n_active - 1, 0.5, 0.0)
+                ).astype(theta.dtype)[:, None]
+                return theta, p + eps * kick * g
 
-            return jax.lax.fori_loop(0, config.n_leapfrog, body, (theta, p))
+            return jax.lax.fori_loop(0, n_max, body, (theta, p))
 
         def step_fn(mdl, state: HMCState):
             key, k_mom, k_acc, k_len = jax.random.split(state.key, 4)
             c = state.theta.shape[0]
             eps = jnp.exp(state.log_eps)
-            if config.jitter_trajectory:
+            if config.adapt_trajectory:
+                # ChEES: one shared halton-jittered trajectory time per step.
+                jitter = _halton2(state.step)
+                traj_t = jitter * jnp.exp(state.log_traj)
+                n_shared = jnp.clip(
+                    jnp.ceil(traj_t / eps), 1, config.max_leapfrog
+                ).astype(jnp.int32)
+                n_active = jnp.full((c,), 1, jnp.int32) * n_shared
+                n_max = n_shared
+            elif config.jitter_trajectory:
                 n_active = jax.random.randint(
                     k_len, (c,), 1, config.n_leapfrog + 1
                 )
+                n_max = config.n_leapfrog
             else:
                 n_active = jnp.full((c,), config.n_leapfrog, jnp.int32)
+                n_max = config.n_leapfrog
 
             minv_t = state.minv
 
-            def one_chain(theta, logp, km, na):
-                p0 = jax.random.normal(km, theta.shape, ATYPE) / jnp.sqrt(minv_t)
-                ke0 = 0.5 * jnp.sum(minv_t * p0 * p0)
-                theta_new, p_new = leapfrog(mdl, theta, p0, eps, na, minv_t)
-                logp_new = logp_fn(mdl, theta_new)
-                ke_new = 0.5 * jnp.sum(minv_t * p_new * p_new)
-                log_ratio = (logp_new - ke_new) - (logp - ke0)
-                return theta_new, logp_new, jnp.minimum(0.0, log_ratio)
-
-            mom_keys = jax.random.split(k_mom, c)
-            theta_new, logp_new, log_ratio = jax.vmap(one_chain)(
-                state.theta, state.logp, mom_keys, n_active
+            p0 = jax.random.normal(
+                k_mom, state.theta.shape, ATYPE
+            ) / jnp.sqrt(minv_t)[None, :]
+            ke0 = 0.5 * jnp.sum(minv_t[None, :] * p0 * p0, axis=1)
+            theta_new, p_new = masked_leapfrog(
+                mdl, state.theta, p0, eps, n_active, minv_t, n_max
             )
+            logp_new = jax.vmap(lambda t: logp_fn(mdl, t))(theta_new)
+            ke_new = 0.5 * jnp.sum(minv_t[None, :] * p_new * p_new, axis=1)
+            log_ratio = (logp_new - ke_new) - (state.logp - ke0)
+            log_ratio = jnp.minimum(0.0, log_ratio)
             log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
             u = jax.random.uniform(k_acc, (c,), ATYPE)
             accept = jnp.log(u) < log_ratio
@@ -214,6 +268,58 @@ class HMC:
                 refresh, jnp.maximum(var_est, 1e-12 * jnp.max(var_est)), state.minv
             )
 
+            # ---- ChEES trajectory-length adaptation (cross-chain gradient)
+            log_traj, log_traj_bar = state.log_traj, state.log_traj_bar
+            traj_m, traj_v = state.traj_m, state.traj_v
+            if config.adapt_trajectory:
+                # d/dT of E[(|θ'-μ'|² - |θ-μ|²)²]/4: per-chain proxy gradient
+                # Δ_c · <θ'_c - μ', v'_c> with v' = M⁻¹ p' the end velocity,
+                # weighted by the acceptance probability and the shared halton
+                # fraction (d traj_t / d log T = traj_t). Batch means pool the
+                # whole chain axis — sharded chains reduce via the mesh.
+                alpha = jnp.exp(log_ratio)
+                mu_old = jnp.mean(state.theta, axis=0)
+                mu_new = jnp.mean(theta_new, axis=0)
+                dsq = jnp.sum((theta_new - mu_new[None, :]) ** 2, axis=1) - jnp.sum(
+                    (state.theta - mu_old[None, :]) ** 2, axis=1
+                )
+                v_end = minv_t[None, :] * p_new
+                dot = jnp.sum((theta_new - mu_new[None, :]) * v_end, axis=1)
+                asum = jnp.maximum(jnp.sum(alpha), 1e-10)
+                per_chain = alpha * dsq * dot
+                # Divergent trajectories produce huge/non-finite θ' whose
+                # α ≈ 0 cannot rescue 0 · inf = nan — drop them from the
+                # gradient estimate instead of poisoning log T.
+                per_chain = jnp.where(jnp.isfinite(per_chain), per_chain, 0.0)
+                ghat = jnp.sum(per_chain) / asum * traj_t
+                ghat = jnp.where(jnp.isfinite(ghat), ghat, 0.0)
+                # Adam ascent on log T (normalised gradient keeps the scale
+                # of the criterion out of the step size).
+                b1, b2, eps_a = 0.9, 0.95, 1e-8
+                traj_m = jnp.where(in_adapt, b1 * traj_m + (1 - b1) * ghat, traj_m)
+                traj_v = jnp.where(
+                    in_adapt, b2 * traj_v + (1 - b2) * ghat * ghat, traj_v
+                )
+                tm_hat = traj_m / (1.0 - b1 ** t)
+                tv_hat = traj_v / (1.0 - b2 ** t)
+                upd = config.traj_learning_rate * tm_hat / (jnp.sqrt(tv_hat) + eps_a)
+                log_traj = jnp.where(in_adapt, log_traj + upd, log_traj)
+                # keep T within [eps, max_leapfrog * eps]
+                log_traj = jnp.clip(
+                    log_traj,
+                    state.log_eps,
+                    state.log_eps + jnp.log(float(config.max_leapfrog)),
+                )
+                eta_t = t ** (-0.75)
+                log_traj_bar = jnp.where(
+                    in_adapt,
+                    eta_t * log_traj + (1.0 - eta_t) * log_traj_bar,
+                    log_traj_bar,
+                )
+                log_traj = jnp.where(
+                    state.step == config.adapt_steps, log_traj_bar, log_traj
+                )
+
             new_state = HMCState(
                 theta=theta,
                 logp=logp,
@@ -227,6 +333,10 @@ class HMC:
                 mass_mean=mean_new,
                 mass_m2=m2_new,
                 mass_n=cnt,
+                log_traj=log_traj,
+                log_traj_bar=log_traj_bar,
+                traj_m=traj_m,
+                traj_v=traj_v,
             )
             return new_state, {"theta": theta, "logp": logp, "accepted": accept}
 
@@ -254,6 +364,24 @@ class HMC:
             mass_mean=jnp.zeros((model.n_params,), ATYPE),
             mass_m2=jnp.zeros((model.n_params,), ATYPE),
             mass_n=jnp.asarray(0.0, ATYPE),
+            log_traj=jnp.log(
+                jnp.asarray(
+                    config.initial_traj_length
+                    if config.initial_traj_length is not None
+                    else 4.0 * config.step_size,
+                    ATYPE,
+                )
+            ),
+            log_traj_bar=jnp.log(
+                jnp.asarray(
+                    config.initial_traj_length
+                    if config.initial_traj_length is not None
+                    else 4.0 * config.step_size,
+                    ATYPE,
+                )
+            ),
+            traj_m=jnp.asarray(0.0, ATYPE),
+            traj_v=jnp.asarray(0.0, ATYPE),
         )
 
     def run(self, n_steps: int | None = None) -> dict[str, np.ndarray]:

@@ -65,6 +65,30 @@ def test_hmc_samples_gaussian(gauss_model):
     assert np.std(draws[:, 1]) == pytest.approx(2.0, rel=0.15)
 
 
+def test_chees_hmc_adapts_trajectory_and_samples(gauss_model):
+    """ChEES trajectory adaptation: the learned trajectory time moves away
+    from its (deliberately tiny) initial value, chains stay correct on the
+    Gaussian target, and the dynamic-length leapfrog keeps acceptance high."""
+    model, ps = gauss_model
+    init = np.tile(np.asarray(ps.prefit), (32, 1))
+    cfg = HMCConfig(
+        step_size=0.2,
+        adapt_steps=300,
+        adapt_trajectory=True,
+        max_leapfrog=32,
+        initial_traj_length=0.25,  # far too short for sigma = 2 -> must grow
+    )
+    hmc = HMC(model, cfg, init, seed=3)
+    out = hmc.run(n_steps=1200)
+    learned_t = float(np.exp(np.asarray(hmc.state.log_traj)))
+    assert learned_t > 0.8, learned_t  # grew toward the posterior scale
+    draws = out["theta"][400:].reshape(-1, 2)
+    assert hmc.acceptance_rate.mean() > 0.5
+    assert np.mean(draws[:, 0]) == pytest.approx(1.0, abs=0.06)
+    assert np.std(draws[:, 0]) == pytest.approx(0.5, rel=0.15)
+    assert np.std(draws[:, 1]) == pytest.approx(2.0, rel=0.15)
+
+
 def test_delayed_rejection_improves_acceptance(gauss_model):
     model, ps = gauss_model
     init = np.tile(np.asarray(ps.prefit), (8, 1))
