@@ -192,9 +192,18 @@ def probabilities_layered(
     batch_shape = lead + (ne,)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), batch_shape + (3, 3))
     init = (eye, jnp.zeros_like(eye))
-    layers = (
-        jnp.moveaxis(jnp.broadcast_to(layer_lengths, lead + (n_layers,)), -1, 0),
-        jnp.moveaxis(jnp.broadcast_to(rho_idx, lead + (n_layers,)), -1, 0),
-    )
-    amp, _ = jax.lax.scan(step, init, layers)
+    ll_b = jnp.broadcast_to(layer_lengths, lead + (n_layers,))
+    ri_b = jnp.broadcast_to(rho_idx, lead + (n_layers,))
+    if n_layers <= 16:
+        # Static unroll: the whole layer chain is elementwise (+ tiny gathers),
+        # so XLA fuses consecutive layers into few passes instead of
+        # materialising the [*, NE, 3, 3] amplitude carry in HBM every scan
+        # step — the scan form was HBM-bound (~3 GB/step at 64 chains x
+        # 20 zenith x 50 E for the coarse 11-segment PREM path).
+        amp = init
+        for k in range(n_layers):
+            amp, _ = step(amp, (ll_b[..., k], ri_b[..., k]))
+    else:
+        layers = (jnp.moveaxis(ll_b, -1, 0), jnp.moveaxis(ri_b, -1, 0))
+        amp, _ = jax.lax.scan(step, init, layers)
     return jnp.swapaxes(c_abs2(amp), -1, -2)

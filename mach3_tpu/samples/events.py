@@ -333,7 +333,7 @@ def build_sample_model(
         has_static_bins=static_bins is not None,
         has_kernel_shift=kernel_shift is not None,
         n_norm_in_kernel=(n_total_params + 1)
-        if (norm_s is not None and kernel_shift is not None)
+        if (norm_s is not None and (kernel_shift is not None or static_bins is not None))
         else 0,
         requested=use_pallas,
     )

@@ -76,7 +76,9 @@ def _vmem_bytes(variant: str, p: int, k4: int, ct: int, et: int, bp: int,
     out = 2 * ct * bp
     if variant == "shared":
         # one-hot [ET, BP] + z [2CT, ET] + res [2CT, BP] + bins [ET]
+        # + in-kernel norm matrices when fused
         extra = et * bp + 2 * ct * et + 2 * ct * bp + et
+        extra += 2 * ct * (n_norm + 1) + (n_norm + 1) * et
     elif variant == "shifted":
         # x/idx/masks [CT, ET] temporaries + norm matrices when fused
         extra = 4 * ct * et + 2 * ct * (n_norm + 1) + (n_norm + 1) * et

@@ -381,9 +381,11 @@ class SampleModel:
         )
 
         # The norm product moves in-kernel (log-matmul) when norm_s exists AND
-        # the kernel variant supports it (the shifted path); otherwise it is
-        # part of the XLA-side base weight.
-        norm_in_kernel = self.norm_s is not None and self.kernel_shift is not None
+        # the kernel variant supports it (the shared/static-bins and shifted
+        # paths); otherwise it is part of the XLA-side base weight.
+        norm_in_kernel = self.norm_s is not None and (
+            self.kernel_shift is not None or self.static_bins is not None
+        )
 
         def _base(t, c):
             w = self.mc_weight * self._osc_weights(t, c)
@@ -408,9 +410,18 @@ class SampleModel:
         if self.static_bins is not None:
             if self.kernel_route is not None:
                 tiles["param_tile"] = self.kernel_route.param_tile
+            norm_kwargs = {}
+            if norm_in_kernel:
+                ones = jnp.ones((thetas.shape[0], 1), FTYPE)
+                norm_kwargs = dict(
+                    norm_ext=jnp.concatenate(
+                        [thetas.astype(FTYPE), ones], axis=1
+                    ),
+                    norm_s=self.norm_s,
+                )
             return fused_reweight_histogram_shared(
                 selector, coeffs, base_w, self.static_bins, n_bins=self.n_bins,
-                **tiles,
+                **norm_kwargs, **tiles,
             )
         if self.kernel_shift is not None:
             from ..splines.pallas_reweight import fused_reweight_histogram_shifted

@@ -194,6 +194,51 @@ def test_shared_blocked_matches_unrolled(interp):
     pr.fused_reweight_histogram_shared.clear_cache()
 
 
+def test_shared_in_kernel_norm_matches_xla(interp):
+    """Shared-bins kernels (unrolled AND param-blocked) with the in-kernel
+    log-matmul norm product equal the XLA norm x kernel-without-norm path,
+    including negative parameter values (sign via parity count)."""
+    table, base_w, _, params, n_bins = _setup()
+    rng = np.random.default_rng(17)
+    n_chains, n_events = base_w.shape
+    bins1d = jnp.asarray(rng.integers(0, n_bins + 1, n_events), jnp.int32)
+    npp1 = params.shape[1] + 1
+    # random match counts: each event matched to 0-2 norm params
+    s = np.zeros((npp1, n_events), np.float32)
+    for e in range(n_events):
+        for idx in rng.choice(npp1 - 1, size=rng.integers(0, 3), replace=False):
+            s[idx, e] += 1.0
+    norm_s = jnp.asarray(s)
+    vals = params.at[:, 2].set(-0.7)  # negative norm value: sign must survive
+    norm_ext = jnp.concatenate(
+        [vals.astype(jnp.float32), jnp.ones((n_chains, 1), jnp.float32)], axis=1
+    )
+    sel = pr.spline_selector(table, params)
+    coeffs = table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3])
+
+    # XLA reference: norm product outside, kernel without norm
+    norm_w = jnp.exp(
+        jnp.log(jnp.maximum(jnp.abs(norm_ext), 1e-30)) @ norm_s
+    ) * jnp.where(((norm_ext < 0).astype(jnp.float32) @ norm_s) % 2 >= 1, -1.0, 1.0)
+    mc_r, w2_r = pr.fused_reweight_histogram_shared(
+        sel, coeffs, base_w * norm_w, bins1d, n_bins=n_bins,
+        chain_tile=4, event_tile=128,
+    )
+    for pt in (None, 1):
+        mc_k, w2_k = pr.fused_reweight_histogram_shared(
+            sel, coeffs, base_w, bins1d, n_bins=n_bins,
+            chain_tile=4, event_tile=128, param_tile=pt,
+            norm_ext=norm_ext, norm_s=norm_s,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mc_k), np.asarray(mc_r), rtol=5e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(w2_k), np.asarray(w2_r), rtol=5e-5, atol=1e-5
+        )
+    pr.fused_reweight_histogram_shared.clear_cache()
+
+
 def test_shifted_blocked_matches_unrolled(interp):
     """Param-blocked SHIFTED kernel (streamed coefficients + in-kernel
     shifted binning + in-kernel norm product) equals the unrolled shifted
