@@ -92,17 +92,26 @@ def _event_spec_for_path(path: str, ndim: int) -> P:
         "kin": 1,  # [V, E]
         "mc_weight": 0,  # [E]
         "norm_idx": 0,  # [E, W]
+        "norm_s": 1,  # [NP+1, E] match-count matrix
         "event_grid_idx": 0,
         "event_channel": 0,
+        "event_flat_idx": 0,  # atmospheric per-event gather index
         "nc_mask": 0,
         "event_splines": 0,  # sparse table [E, W]
-        "coeffs": None,  # set below: dense [P, K, E, 4] -> axis 2
+        "static_bins": 0,  # [E] precomputed bin map
+        "shift_static_base": 0,  # [E] static-axis bin contribution
+        "slope": 1,  # TF1 [Pt, E]
+        "intercept": 1,  # TF1 [Pt, E]
+        "coeffs": None,  # set below: dense [P, K, 4, E] -> axis 3
     }
+    # norm_onehot is [E*W, NP+1]: its leading axis is event-major but W-strided,
+    # so a raw split would cut within an event — replicate it (reference-scale
+    # models use norm_s instead; the one-hot is size-gated to small tables).
     for field, axis in event_axis_by_field.items():
         if path.endswith(field):
             if field == "coeffs":
-                if ndim == 4:  # dense table
-                    return P(None, None, EVENT_AXIS, None)
+                if ndim == 4:  # dense monolith [P, K, 4, E]
+                    return P(None, None, None, EVENT_AXIS)
                 return P()  # sparse coeffs are per-spline; replicate
             spec = [None] * ndim
             spec[axis] = EVENT_AXIS

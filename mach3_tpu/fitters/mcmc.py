@@ -169,6 +169,8 @@ def adaptive_propose(
 
 def make_step_fn_args(
     config: MCMCConfig,
+    chain_axis: str | None = None,
+    event_axis: str | None = None,
 ) -> Callable[[FitModel, ChainState], tuple[ChainState, dict[str, jnp.ndarray]]]:
     """Build the pure single-step transition ``step(model, state)`` with the
     model passed as a TRACED pytree argument.
@@ -178,12 +180,26 @@ def make_step_fn_args(
     compiled program's constants. The remote-TPU compile service rejects
     HLO with embedded GB-scale constants (HTTP 413), and even locally,
     argument buffers are shared across executables while constants are not.
+
+    chain_axis / event_axis: mesh axis names when the step runs INSIDE
+    ``shard_map`` (``distributed/shard_step.py``). The chain axis decorrelates
+    per-shard RNG (fold_in of the shard index) and pools cross-chain
+    reductions (adaptive moments, Robbins-Monro acceptance) with ``pmean``;
+    the event axis ``psum``s the partial per-shard histograms. ``None`` (the
+    default) is the single-device / GSPMD-jit form.
     """
 
     def step_fn(model: FitModel, state: ChainState):
         block_mask = adaption_block_mask(model.n_params, config.adaption_blocks)
         key, k_prop, k_acc = jax.random.split(state.key, 3)
         n_chains = state.theta.shape[0]
+        if chain_axis is not None:
+            # Same base key on every shard: fold in the chain-shard index so
+            # shards draw independent throws, while event shards (same
+            # chains) stay identical.
+            shard = jax.lax.axis_index(chain_axis)
+            k_prop = jax.random.fold_in(k_prop, shard)
+            k_acc = jax.random.fold_in(k_acc, shard)
 
         if state.adaptive is None:
             from ..params.state import propose_step_batch
@@ -194,7 +210,7 @@ def make_step_fn_args(
                 model._flat(), state.adaptive, state.theta, k_prop
             )
         nll_prop, prior_parts, sample_parts = model.total_nll_batch_parts(
-            proposed, want_parts=config.record_breakdown
+            proposed, want_parts=config.record_breakdown, event_axis=event_axis
         )
 
         # Acceptance probability (MR2T2.cpp:103-115)
@@ -217,7 +233,8 @@ def make_step_fn_args(
         adaptive = state.adaptive
         if adaptive is not None:
             adaptive = _update_adaptive(
-                adaptive, theta, step, config, acc_prob, block_mask
+                adaptive, theta, step, config, acc_prob, block_mask,
+                chain_axis=chain_axis,
             )
 
         new_state = ChainState(
@@ -284,12 +301,15 @@ def _update_adaptive(
     config: MCMCConfig,
     acc_prob: jnp.ndarray,
     block_mask: jnp.ndarray | None = None,
+    chain_axis: str | None = None,
 ) -> AdaptiveState:
     """Haario moment update, pooled or per-chain (see :class:`AdaptiveState`).
 
     Pooled generalises ``AdaptiveMCMCHandler.cpp:332-400``: each step
     contributes the chain-averaged outer products (C samples at once).
     Per-chain runs the reference recursion independently per chain.
+    ``chain_axis``: inside shard_map, pooled reductions span all shards
+    (pmean over the mesh axis); per-chain mode needs no communication.
     """
     in_window = (step >= config.adaption_start_update) & (step <= config.adaption_end_update)
     th = theta.astype(ATYPE)
@@ -302,6 +322,9 @@ def _update_adaptive(
     else:
         x = jnp.mean(th, axis=0)  # pooled "current value" [P]
         xxt = jnp.einsum("ci,cj->ij", th, th) / th.shape[0]
+        if chain_axis is not None:
+            x = jax.lax.pmean(x, chain_axis)
+            xxt = jax.lax.pmean(xxt, chain_axis)
         new_mean, new_cov = _moment_update(ad.mean, ad.cov, n, x, xxt)
     if block_mask is not None:
         # Independent adaption blocks: cross-block entries never learned
@@ -334,6 +357,8 @@ def _update_adaptive(
         t = jnp.maximum(step.astype(ATYPE), 1.0)
         gamma = 2.0 / t**0.66
         acc = acc_prob if ad.per_chain else jnp.mean(acc_prob)
+        if chain_axis is not None and not ad.per_chain:
+            acc = jax.lax.pmean(acc, chain_axis)
         log_scale = ad.log_scale + gamma * (acc - config.target_accept)
         log_scale = jnp.clip(log_scale, -8.0, 4.0)
     else:

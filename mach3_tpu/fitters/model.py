@@ -195,14 +195,17 @@ class FitModel:
         return total
 
     def total_nll_batch_parts(
-        self, thetas: jnp.ndarray, want_parts: bool = True
+        self, thetas: jnp.ndarray, want_parts: bool = True,
+        event_axis: str | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray | None, jnp.ndarray]:
         """Batched -logL plus its per-handler and per-sample pieces
         ([C], [C, H], [C, S]) from ONE evaluation — the pieces feed the
         reference's ``LogL_systematic_*`` / ``LogL_sample_*`` chain branches
         (``Fitters/FitterBase.cpp:185-197``). With ``want_parts=False`` the
         per-handler breakdown (a per-block loop) is skipped and the prior is
-        one whole-vector op."""
+        one whole-vector op. ``event_axis``: shard_map mesh axis carrying the
+        event shards (partial histograms are psum'd before the test
+        statistic)."""
         prior_parts = jax.vmap(self.prior_nll_breakdown)(thetas)  # [C, H]
         prior = jnp.sum(prior_parts, axis=1)
         if not want_parts:
@@ -212,7 +215,10 @@ class FitModel:
             osc_tables = self._shared_osc_tables(thetas)
             sample_parts = jnp.stack(
                 [
-                    s.log_likelihood_batch(thetas, osc_grids_batch=osc_tables[i])
+                    s.log_likelihood_batch(
+                        thetas, osc_grids_batch=osc_tables[i],
+                        event_axis=event_axis,
+                    )
                     for i, s in enumerate(self.samples)
                 ],
                 axis=1,

@@ -461,10 +461,21 @@ class SampleModel:
         )
 
     def log_likelihood_batch(
-        self, thetas: jnp.ndarray, osc_grids_batch: tuple | None = None
+        self,
+        thetas: jnp.ndarray,
+        osc_grids_batch: tuple | None = None,
+        event_axis: str | None = None,
     ) -> jnp.ndarray:
-        """[C, NP] -> [C] -logL."""
+        """[C, NP] -> [C] -logL.
+
+        event_axis: shard_map mesh axis when this sample's event arrays are
+        sharded — the local partial histograms (each shard reweights its own
+        events) are psum'd over ICI before the test statistic, which needs
+        the full per-bin Σw / Σw² (Barlow-Beeston beta depends on both)."""
         mc, w2 = self.reweight_batch(thetas, osc_grids_batch)
+        if event_axis is not None:
+            mc = jax.lax.psum(mc, event_axis)
+            w2 = jax.lax.psum(w2, event_axis)
         stat_fn = get_test_stat_fn(self.test_statistic)
         per_bin = stat_fn(self.data[None, :], mc.astype(ATYPE), w2.astype(ATYPE))
         return jnp.sum(per_bin, axis=1)

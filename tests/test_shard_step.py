@@ -1,0 +1,142 @@
+"""shard_map multi-chip step (distributed/shard_step.py) on the virtual
+8-device CPU mesh: explicit-collectives form of the fit — local Pallas/XLA
+reweight + event-axis psum of histograms + chain-axis pmean of pooled
+adaptation, per-shard decorrelated RNG."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mach3_tpu.distributed.mesh import (
+    chain_state_sharding,
+    make_mesh,
+    shard_fit_model,
+)
+from mach3_tpu.distributed.shard_step import (
+    make_sharded_chunk_runner,
+    model_pspecs,
+    prepare_model_for_shard_map,
+    state_pspecs,
+)
+from mach3_tpu.fitters.mcmc import AdaptiveState, ChainState, MCMCConfig
+from mach3_tpu.tutorial.toy import build_toy
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(4, 2)
+    toy = build_toy(n_events=400, seed=11, e_grid_size=24)
+    model = prepare_model_for_shard_map(toy.model, n_event_shards=2)
+    model = shard_fit_model(mesh, model)
+    return mesh, toy, model
+
+
+def _init_state(model, n_chains, adaptive_cfg=None, seed=5):
+    rng = np.random.default_rng(0)
+    theta0 = np.tile(np.asarray(model.prefit_vector()), (n_chains, 1))
+    theta0 = jnp.asarray(theta0 + 1e-3 * rng.normal(size=theta0.shape))
+    nll0 = jax.jit(lambda m, t: m.total_nll_batch(t))(model, theta0)
+    n_params = model.n_params
+    ad = None
+    if adaptive_cfg:
+        ad = AdaptiveState(
+            mean=jnp.zeros((n_params,), jnp.float64),
+            cov=jnp.eye(n_params, dtype=jnp.float64) * 1e-4,
+            chol=jnp.eye(n_params, dtype=jnp.float64) * 1e-2,
+            n_updates=jnp.asarray(0, jnp.int32),
+            log_scale=jnp.asarray(0.0, jnp.float64),
+        )
+    return ChainState(
+        theta=theta0,
+        nll=nll0,
+        key=jax.random.key(seed),
+        step=jnp.asarray(0, jnp.int32),
+        n_accepted=jnp.zeros((n_chains,), jnp.int32),
+        adaptive=ad,
+    )
+
+
+def test_sharded_nll_matches_unsharded(setup):
+    """The event-axis psum reconstruction: sharded likelihood == single-device
+    likelihood on identical parameter points (up to reduction order)."""
+    mesh, toy, model = setup
+    state = _init_state(model, 8)
+    # unsharded reference on the unprepared model
+    ref = np.asarray(
+        jax.jit(lambda m, t: m.total_nll_batch(t))(toy.model, state.theta)
+    )
+    np.testing.assert_allclose(np.asarray(state.nll), ref, rtol=1e-10)
+
+
+def test_sharded_chunk_runs_and_is_deterministic(setup):
+    mesh, toy, model = setup
+    config = MCMCConfig(
+        adaptive=True, adaption_start_update=2, adaption_start_throw=10,
+        adaption_update_step=5,
+    )
+    outs = []
+    for _ in range(2):
+        state = _init_state(model, 8, adaptive_cfg=True)
+        state = chain_state_sharding(mesh, state)
+        run = make_sharded_chunk_runner(mesh, config, model, state)
+        final, out = run(model, state, 30)
+        jax.block_until_ready(final.theta)
+        outs.append((np.asarray(out["theta"]), np.asarray(final.nll)))
+        assert np.isfinite(outs[-1][0]).all()
+        assert np.isfinite(outs[-1][1]).all()
+        assert int(np.asarray(final.step)) == 30
+        # pooled adaptive moments accumulated (and stayed replicated)
+        assert int(np.asarray(final.adaptive.n_updates)) > 0
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_shards_draw_independent_proposals(setup):
+    """Chain shards fold their mesh index into the RNG: chains on different
+    shards must not move in lockstep."""
+    mesh, toy, model = setup
+    config = MCMCConfig()
+    state = _init_state(model, 8)
+    # identical start for ALL chains: any correlation shows up as equality
+    theta0 = jnp.tile(state.theta[:1], (8, 1))
+    nll0 = jax.jit(lambda m, t: m.total_nll_batch(t))(model, theta0)
+    state = state.replace(theta=theta0, nll=nll0)
+    state = chain_state_sharding(mesh, state)
+    run = make_sharded_chunk_runner(mesh, config, model, state)
+    final, out = run(model, state, 20)
+    # acc_prob depends on the proposal draw: identical streams across shards
+    # would give identical traces. Chains 0,1 live on shard 0; 2,3 on shard 1.
+    ap = np.asarray(out["acc_prob"])  # [S, C]
+    assert not np.allclose(ap[:, 0], ap[:, 2])
+    assert not np.allclose(ap[:, 1], ap[:, 3])
+    assert not np.allclose(ap[:, 0], ap[:, 4])
+    # ... and within a shard the two chains use distinct draws too
+    assert not np.allclose(ap[:, 0], ap[:, 1])
+
+
+def test_spec_builders_cover_model_tree(setup):
+    """Every event-sized leaf of the model gets an event-sharded spec (a
+    missing field mapping would silently replicate it and double memory)."""
+    mesh, toy, model = setup
+    specs = model_pspecs(model)
+    leaves_m = jax.tree_util.tree_leaves_with_path(model)
+    leaves_s = dict(
+        (jax.tree_util.keystr(p), s)
+        for p, s in jax.tree_util.tree_leaves_with_path(
+            specs, is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec)
+        )
+    )
+    n_events = {s.n_events for s in model.samples}
+    missing = []
+    for path, leaf in leaves_m:
+        if not hasattr(leaf, "shape"):
+            continue
+        key = jax.tree_util.keystr(path)
+        spec = leaves_s.get(key)
+        has_event_dim = any(d in n_events for d in leaf.shape)
+        sharded = spec is not None and any(ax is not None for ax in spec)
+        if has_event_dim and not sharded:
+            missing.append(key)
+    assert not missing, f"event-sized leaves without event sharding: {missing}"
