@@ -174,7 +174,7 @@ def main() -> None:
 
             exp = build_large(use_pallas=True, low_memory=True)
             t = stage("build_large", t)
-            c_large = 64
+            c_large = 128  # near the per-chain/per-chip throughput sweet spot
             th_l = np.tile(np.asarray(exp.model.prefit_vector()), (c_large, 1))
             th_l = jnp.asarray(
                 th_l + 1e-3 * rng.normal(size=th_l.shape)
@@ -196,6 +196,13 @@ def main() -> None:
             fl.run(n_steps=60)
             jax.block_until_ready(fl.state.theta)
             dt_l = time.perf_counter() - t0
+            th_256 = jnp.asarray(
+                np.tile(np.asarray(exp.model.prefit_vector()), (256, 1))
+                + 1e-3 * rng.normal(size=(256, exp.n_params))
+            )
+            dt_nll256 = scan_time(
+                jax, jnp, lambda m, t: m.total_nll_batch(t), exp.model, th_256, iters=10
+            )
             extras["large_scale"] = {
                 "n_params": exp.n_params,
                 "n_events": ev_total,
@@ -204,11 +211,61 @@ def main() -> None:
                 "chain_steps_per_sec": round(60 * c_large / dt_l, 1),
                 "step_ms": round(1e3 * dt_l / 60, 2),
                 "total_nll_ms": round(1e3 * dt_nll, 2),
+                "nll_256_chains": {
+                    "ms": round(1e3 * dt_nll256, 2),
+                    "chain_nll_per_sec": round(256 / dt_nll256, 1),
+                },
                 "reweight": rw,
             }
             t = stage("large-scale", t)
         except Exception as exc:  # pragma: no cover
             extras["large_scale"] = {"error": str(exc)[:300]}
+
+    # ---- ChEES-HMC ESS/hour on the toy fit (gradient-based sampling the
+    # reference cannot do; cross-chain trajectory adaptation)
+    if os.environ.get("MACH3_BENCH_HMC", "1") != "0":
+        try:
+            from mach3_tpu.fitters.hmc import HMC, HMCConfig
+
+            c_hmc = 64
+            init_h = np.tile(theta0, (c_hmc, 1)) + 1e-3 * rng.normal(
+                size=(c_hmc, len(theta0))
+            )
+            hmc = HMC(
+                toy.model,
+                HMCConfig(
+                    step_size=0.05, adapt_steps=150, adapt_trajectory=True,
+                    max_leapfrog=64, chunk_size=50,
+                ),
+                init_h,
+                seed=7,
+            )
+            hmc.run(n_steps=200)  # compile + warm-up + adaptation
+            n_meas = 150
+            t0 = time.perf_counter()
+            out_h = hmc.run(n_steps=n_meas)
+            jax.block_until_ready(hmc.state.theta)
+            dt_h = time.perf_counter() - t0
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                ess_h = np.asarray(
+                    jax.jit(jax.vmap(effective_sample_size, in_axes=1, out_axes=0))(
+                        jnp.asarray(out_h["theta"])
+                    )
+                )
+            ess_tot = ess_h.sum(axis=0)
+            extras["chees_hmc"] = {
+                "chains": c_hmc,
+                "steps_per_sec": round(n_meas * c_hmc / dt_h, 1),
+                "acceptance": round(float(hmc.acceptance_rate.mean()), 3),
+                "traj_time": round(float(np.exp(np.asarray(hmc.state.log_traj))), 4),
+                "ess_per_hour": {
+                    "min": round(float(ess_tot.min() / (dt_h / 3600.0)), 1),
+                    "median": round(float(np.median(ess_tot) / (dt_h / 3600.0)), 1),
+                },
+            }
+            t = stage("chees-hmc", t)
+        except Exception as exc:  # pragma: no cover
+            extras["chees_hmc"] = {"error": str(exc)[:200]}
 
     print(
         json.dumps(

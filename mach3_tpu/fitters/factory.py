@@ -133,17 +133,29 @@ def make_fitter(
             delay_probability=float(g.get("DelayProbability", 1.0)),
         )
         return DelayedMR2T2(model, dc, init_theta, seed=seed)
-    if algo == "HMC" or algo == "NUTS":
+    if algo in ("HMC", "NUTS", "MALA"):
         g = cfg.sub("General").sub("MCMC") if cfg.has("General.MCMC") else Config({})
-        hc = HMCConfig(
-            n_steps=int(g.get("NSteps", 1000)),
-            n_leapfrog=int(g.get("NLeapfrog", 16)),
-            step_size=float(g.get("StepSize", 0.01)),
-            # ChEES cross-chain trajectory adaptation (the NUTS answer): on
-            # by request or when the algorithm is spelled "NUTS".
-            adapt_trajectory=bool(g.get("AdaptTrajectory", algo == "NUTS")),
-            max_leapfrog=int(g.get("MaxLeapfrog", 128)),
-        )
+        if algo == "MALA":
+            # Metropolis-adjusted Langevin == HMC with exactly one leapfrog
+            # step (the kinetic-energy MH ratio IS the asymmetric-proposal
+            # correction); optimal acceptance 0.574 (Roberts & Rosenthal).
+            hc = HMCConfig(
+                n_steps=int(g.get("NSteps", 1000)),
+                n_leapfrog=1,
+                jitter_trajectory=False,
+                step_size=float(g.get("StepSize", 0.01)),
+                target_accept=float(g.get("TargetAccept", 0.574)),
+            )
+        else:
+            hc = HMCConfig(
+                n_steps=int(g.get("NSteps", 1000)),
+                n_leapfrog=int(g.get("NLeapfrog", 16)),
+                step_size=float(g.get("StepSize", 0.01)),
+                # ChEES cross-chain trajectory adaptation (the NUTS answer):
+                # on by request or when the algorithm is spelled "NUTS".
+                adapt_trajectory=bool(g.get("AdaptTrajectory", algo == "NUTS")),
+                max_leapfrog=int(g.get("MaxLeapfrog", 128)),
+            )
         return HMC(model, hc, init_theta, seed=seed)
     if algo == "Ensemble":
         from .ensemble import EnsembleConfig, EnsembleSampler

@@ -89,6 +89,23 @@ def test_chees_hmc_adapts_trajectory_and_samples(gauss_model):
     assert np.std(draws[:, 1]) == pytest.approx(2.0, rel=0.15)
 
 
+def test_mala_via_factory_samples_gaussian(gauss_model):
+    """MALA = single-leapfrog HMC: the kinetic-energy MH ratio is exactly the
+    Langevin asymmetric-proposal correction. Factory algo name 'MALA'."""
+    from mach3_tpu.core import Config
+    model, ps = gauss_model
+    cfg = Config({"General": {"FittingAlgorithm": "MALA",
+                              "MCMC": {"NChains": 16, "StepSize": 0.5}}})
+    f = make_fitter(cfg, model, seed=9)
+    assert f.config.n_leapfrog == 1 and not f.config.jitter_trajectory
+    out = f.run(n_steps=2500)
+    draws = out["theta"][700:].reshape(-1, 2)
+    assert f.acceptance_rate.mean() > 0.4
+    assert np.mean(draws[:, 0]) == pytest.approx(1.0, abs=0.06)
+    assert np.std(draws[:, 0]) == pytest.approx(0.5, rel=0.15)
+    assert np.std(draws[:, 1]) == pytest.approx(2.0, rel=0.15)
+
+
 def test_delayed_rejection_improves_acceptance(gauss_model):
     model, ps = gauss_model
     init = np.tile(np.asarray(ps.prefit), (8, 1))
