@@ -111,53 +111,75 @@ def combine_chains(paths: list[str], out_path: str, check: bool = True) -> None:
 
 
 def save_checkpoint(path: str, fitter, names: list[str], config_yaml: str = "") -> None:
-    """Persist the exact sampler state for resume (no draws)."""
+    """Persist the exact sampler state for resume (no draws).
+
+    Generic over the fitter's state pytree (MR2T2 ``ChainState``, HMC/ChEES
+    ``HMCState``, ...): every array leaf is stored under its tree path; PRNG
+    key arrays round-trip through ``key_data``. The reference restores by
+    branch name from the old chain (``FitterBase::StartFromPreviousFit``);
+    here the state IS the whole sampler."""
     import jax
 
-    st = fitter.state
-    state = {
-        "theta": np.asarray(st.theta),
-        "nll": np.asarray(st.nll),
-        "key_data": np.asarray(jax.random.key_data(st.key)),
-        "step": np.asarray(st.step),
-        "n_accepted": np.asarray(st.n_accepted),
-    }
-    if st.adaptive is not None:
-        state.update(
-            {
-                "ad_mean": np.asarray(st.adaptive.mean),
-                "ad_cov": np.asarray(st.adaptive.cov),
-                "ad_chol": np.asarray(st.adaptive.chol),
-                "ad_n": np.asarray(st.adaptive.n_updates),
-                "ad_log_scale": np.asarray(st.adaptive.log_scale),
-            }
-        )
+    state = {}
+    for p, leaf in jax.tree_util.tree_leaves_with_path(fitter.state):
+        k = "st" + jax.tree_util.keystr(p)
+        if hasattr(leaf, "dtype") and jax.dtypes.issubdtype(
+            leaf.dtype, jax.dtypes.prng_key
+        ):
+            state[k + "#key"] = np.asarray(jax.random.key_data(leaf))
+        else:
+            state[k] = np.asarray(leaf)
     save_chain(path, {}, names, config_yaml, state=state)
 
 
 def load_checkpoint(path: str, fitter) -> None:
-    """Restore a fitter's state from a checkpoint (``StartFromPreviousFit``)."""
+    """Restore a fitter's state from a checkpoint (``StartFromPreviousFit``).
+
+    The fitter must be constructed with the same configuration (same state
+    tree structure) — the reference has the same constraint: resuming reads
+    branches the new fit also declares."""
     import jax
     import jax.numpy as jnp
 
-    from ..fitters.mcmc import AdaptiveState, ChainState
-
     _, meta, state = load_chain(path)
-    adaptive = None
-    if "ad_mean" in state and fitter.state.adaptive is not None:
-        adaptive = AdaptiveState(
-            mean=jnp.asarray(state["ad_mean"]),
-            cov=jnp.asarray(state["ad_cov"]),
-            chol=jnp.asarray(state["ad_chol"]),
-            n_updates=jnp.asarray(state["ad_n"]),
-            log_scale=jnp.asarray(state.get("ad_log_scale", 0.0)),
+    if any(k.startswith("st.") or k.startswith("st[") for k in state):
+        leaves_paths = jax.tree_util.tree_leaves_with_path(fitter.state)
+        treedef = jax.tree_util.tree_structure(fitter.state)
+        new_leaves = []
+        for p, leaf in leaves_paths:
+            k = "st" + jax.tree_util.keystr(p)
+            if k + "#key" in state:
+                new_leaves.append(
+                    jax.random.wrap_key_data(jnp.asarray(state[k + "#key"]))
+                )
+            elif k in state:
+                new_leaves.append(jnp.asarray(state[k], getattr(leaf, "dtype", None)))
+            else:
+                raise KeyError(
+                    f"checkpoint {path} is missing state leaf {k!r}: it was "
+                    "written by a fitter with a different configuration"
+                )
+        fitter.state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        step = state.get("st.step", 0)
+    else:  # legacy fixed-name layout (round-1 MR2T2 checkpoints)
+        from ..fitters.mcmc import AdaptiveState, ChainState
+
+        adaptive = None
+        if "ad_mean" in state and fitter.state.adaptive is not None:
+            adaptive = AdaptiveState(
+                mean=jnp.asarray(state["ad_mean"]),
+                cov=jnp.asarray(state["ad_cov"]),
+                chol=jnp.asarray(state["ad_chol"]),
+                n_updates=jnp.asarray(state["ad_n"]),
+                log_scale=jnp.asarray(state.get("ad_log_scale", 0.0)),
+            )
+        fitter.state = ChainState(
+            theta=jnp.asarray(state["theta"]),
+            nll=jnp.asarray(state["nll"]),
+            key=jax.random.wrap_key_data(jnp.asarray(state["key_data"])),
+            step=jnp.asarray(state["step"]),
+            n_accepted=jnp.asarray(state["n_accepted"]),
+            adaptive=adaptive,
         )
-    fitter.state = ChainState(
-        theta=jnp.asarray(state["theta"]),
-        nll=jnp.asarray(state["nll"]),
-        key=jax.random.wrap_key_data(jnp.asarray(state["key_data"])),
-        step=jnp.asarray(state["step"]),
-        n_accepted=jnp.asarray(state["n_accepted"]),
-        adaptive=adaptive,
-    )
-    _log.info("Resumed fit at step %d from %s", int(state["step"]), path)
+        step = state["step"]
+    _log.info("Resumed fit at step %d from %s", int(np.asarray(step)), path)

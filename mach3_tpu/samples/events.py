@@ -167,9 +167,16 @@ def build_atmo_osc_config(
     e_true_var: str = "e_true",
     cosz_var: str = "cos_zenith",
     production_height_km: float = 15.0,
+    production_heights: Sequence[float] | None = None,
+    height_weights: Sequence[float] | None = None,
 ) -> AtmoOscConfig:
     """Atmospheric wiring: PREM layered paths per zenith bin + per-event
-    (channel, cosZ, E) gather indices (CUDAProb3-equivalent setup)."""
+    (channel, cosZ, E) gather indices (CUDAProb3-equivalent setup).
+
+    production_heights / height_weights: quadrature nodes + weights for
+    production-height averaging (CUDAProb3's averaged-height mode,
+    ``README.md:119-123``) — probabilities become Σ_h w_h P(h). Omit for a
+    single fixed height (``production_height_km``)."""
     import jax.numpy as jnp
 
     from ..osc.prem import path_through_earth
@@ -184,9 +191,30 @@ def build_atmo_osc_config(
         beta.append(_FLAVOUR[abs(int(det))])
         anti.append(gen < 0)
 
-    lengths, rho, ye = path_through_earth(
-        np.asarray(cosz_grid), production_height_km=production_height_km
-    )
+    hw = None
+    if production_heights is not None:
+        if height_weights is None:
+            height_weights = np.full(len(production_heights), 1.0 / len(production_heights))
+        hw = np.asarray(height_weights, np.float64)
+        hw = hw / hw.sum()
+        per_h = [
+            path_through_earth(np.asarray(cosz_grid), production_height_km=float(h))
+            for h in production_heights
+        ]
+        # Pad every height's segment axis to the common maximum.
+        nl = max(p[0].shape[1] for p in per_h)
+
+        def padl(a):
+            return np.pad(a, ((0, 0), (0, nl - a.shape[1])))
+
+        lengths = np.stack([padl(p[0]) for p in per_h])  # [H, NZ, NL]
+        rho = np.stack([padl(p[1]) for p in per_h])
+        ye = np.stack([np.pad(p[2], ((0, 0), (0, nl - p[2].shape[1])),
+                              constant_values=0.5) for p in per_h])
+    else:
+        lengths, rho, ye = path_through_earth(
+            np.asarray(cosz_grid), production_height_km=production_height_km
+        )
     rho_eff = rho * (ye / 0.5)
 
     def nearest(grid, vals):
@@ -214,6 +242,7 @@ def build_atmo_osc_config(
         chan_anti=jnp.asarray(anti),
         nc_mask=jnp.asarray(np.isin(events.mode, list(nc_modes))),
         osc_param_idx=jnp.asarray(list(osc_param_gidx), ITYPE),
+        height_weights=None if hw is None else jnp.asarray(hw, ATYPE),
     )
 
 

@@ -137,7 +137,7 @@ class AtmoOscConfig:
     """
 
     e_grid: jnp.ndarray  # [NE]
-    layer_lengths: jnp.ndarray  # [NZ, NL] km (0-padded)
+    layer_lengths: jnp.ndarray  # [NZ, NL] km (0-padded); [H, NZ, NL] with heights
     layer_rho: jnp.ndarray  # [NZ, NL] g/cm^3 (Ye-folded effective density)
     event_flat_idx: jnp.ndarray  # [E] i32 = (chan * NZ + z_idx) * NE + e_idx
     chan_alpha: jnp.ndarray  # [NC] i32
@@ -149,24 +149,33 @@ class AtmoOscConfig:
     # per (density, energy) pair instead of per (zenith, layer, energy).
     rho_unique: jnp.ndarray | None = None  # [NR]
     rho_idx: jnp.ndarray | None = None  # [NZ, NL] i32
+    # Production-height averaging (CUDAProb3's averaged-height mode): when
+    # set, layer_lengths/layer_rho/rho_idx carry a leading [H] axis and the
+    # grids are the height-weighted average Σ_h w_h P(h). None = single
+    # fixed height (no extra axis, no extra cost).
+    height_weights: jnp.ndarray | None = None  # [H], sums to 1
     dtype: jnp.dtype = struct.field(pytree_node=False, default=jnp.float32)
 
     def prob_grids(self, params: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Raw (nu, antinu) probability grids [NZ, NE, 3, 3] — the expensive
         part, shareable between samples with identical path/energy grids
-        regardless of channels (``OscillationHandler.cpp:18-35``)."""
+        regardless of channels (``OscillationHandler.cpp:18-35``). With
+        production-height averaging the [H, NZ, NE, 3, 3] grids are reduced
+        over the height nodes before the per-event gather."""
         osc_pars = OscParams.from_array(params[self.osc_param_idx].astype(ATYPE))
-        p_nu = probabilities_layered(
-            osc_pars, self.e_grid, self.layer_lengths, self.layer_rho,
-            antineutrino=False, dtype=self.dtype,
-            rho_unique=self.rho_unique, rho_idx=self.rho_idx,
-        )
-        p_bar = probabilities_layered(
-            osc_pars, self.e_grid, self.layer_lengths, self.layer_rho,
-            antineutrino=True, dtype=self.dtype,
-            rho_unique=self.rho_unique, rho_idx=self.rho_idx,
-        )
-        return p_nu, p_bar
+
+        def one(antineutrino):
+            p = probabilities_layered(
+                osc_pars, self.e_grid, self.layer_lengths, self.layer_rho,
+                antineutrino=antineutrino, dtype=self.dtype,
+                rho_unique=self.rho_unique, rho_idx=self.rho_idx,
+            )
+            if self.height_weights is not None:
+                w = self.height_weights.astype(p.dtype)
+                p = jnp.tensordot(w, p, axes=(0, 0))
+            return p
+
+        return one(False), one(True)
 
     def chan_table(
         self, params: jnp.ndarray, grids: tuple | None = None
@@ -189,6 +198,9 @@ class AtmoOscConfig:
             _np.asarray(self.layer_lengths).tobytes(),
             _np.asarray(self.layer_rho).tobytes(),
             _np.asarray(self.osc_param_idx).tobytes(),
+            None
+            if self.height_weights is None
+            else _np.asarray(self.height_weights).tobytes(),
             str(self.dtype),
         )
 

@@ -73,3 +73,33 @@ def test_atmo_theta23_sensitivity(atmo_sample):
     shifted = PDG_OSC.at[2].set(0.40)
     mc_b, _ = jax.jit(sm.reweight)(shifted)
     assert not np.allclose(np.asarray(mc_a), np.asarray(mc_b), rtol=1e-3)
+
+
+def test_production_height_averaging(atmo_sample):
+    """CUDAProb3-style production-height averaging: a single-node quadrature
+    equals the fixed-height config exactly, and a two-node average equals the
+    manual weighted mean of the two single-height grids."""
+    ev, _ = atmo_sample
+    kwargs = dict(
+        e_grid=np.linspace(0.5, 20.0, 10),
+        cosz_grid=np.linspace(-0.99, 0.99, 5),
+        osc_param_gidx=[0, 1, 2, 3, 4, 5],
+    )
+    fixed = build_atmo_osc_config(ev, production_height_km=15.0, **kwargs)
+    one_node = build_atmo_osc_config(ev, production_heights=[15.0], **kwargs)
+    p_fixed = fixed.prob_grids(PDG_OSC)[0]
+    p_one = one_node.prob_grids(PDG_OSC)[0]
+    np.testing.assert_allclose(np.asarray(p_one), np.asarray(p_fixed), atol=1e-12)
+
+    lo = build_atmo_osc_config(ev, production_height_km=10.0, **kwargs)
+    hi = build_atmo_osc_config(ev, production_height_km=25.0, **kwargs)
+    avg = build_atmo_osc_config(
+        ev, production_heights=[10.0, 25.0], height_weights=[0.3, 0.7], **kwargs
+    )
+    p_manual = 0.3 * np.asarray(lo.prob_grids(PDG_OSC)[0]) + 0.7 * np.asarray(
+        hi.prob_grids(PDG_OSC)[0]
+    )
+    p_avg = np.asarray(avg.prob_grids(PDG_OSC)[0])
+    np.testing.assert_allclose(p_avg, p_manual, atol=1e-6)
+    # the average must actually differ from either endpoint (heights matter)
+    assert not np.allclose(p_avg, np.asarray(lo.prob_grids(PDG_OSC)[0]), atol=1e-6)

@@ -98,3 +98,91 @@ def test_checkpoint_resume_exact(tmp_path):
 
     assert np.allclose(out_ref["theta"][50:], out_b["theta"])
     assert int(f_b.state.step) == 100
+
+
+def test_checkpoint_resume_exact_adaptive(tmp_path):
+    """The generic (tree-path) checkpoint restores adaptive moments exactly."""
+    from mach3_tpu.fitters import FitModel, MCMCConfig, MR2T2
+    from mach3_tpu.params.parameterset import ParameterSet
+
+    ps = ParameterSet.from_config(
+        {
+            "Systematics": [
+                {
+                    "Systematic": {
+                        "Names": {"FancyName": "a"},
+                        "ParameterValues": {"PreFitValue": 0.0},
+                        "StepScale": {"MCMC": 1.0},
+                        "Error": 1.0,
+                        "ParameterBounds": [-10, 10],
+                        "Type": "Norm",
+                    }
+                }
+            ]
+        }
+    )
+    model = FitModel.build([ps], [])
+    init = np.zeros((4, 1))
+    cfg = MCMCConfig(
+        chunk_size=25, adaptive=True, adaption_start_update=5,
+        adaption_start_throw=20, adaption_update_step=10,
+    )
+    f_ref = MR2T2(model, cfg, init, seed=42)
+    out_ref = f_ref.run(n_steps=100)
+
+    f_a = MR2T2(model, cfg, init, seed=42)
+    f_a.run(n_steps=50)
+    ckpt = str(tmp_path / "ckpt.npz")
+    save_checkpoint(ckpt, f_a, ["a"])
+    f_b = MR2T2(model, cfg, init, seed=0)
+    load_checkpoint(ckpt, f_b)
+    out_b = f_b.run(n_steps=50)
+    assert np.allclose(out_ref["theta"][50:], out_b["theta"])
+    assert np.allclose(
+        np.asarray(f_ref.state.adaptive.cov), np.asarray(f_b.state.adaptive.cov)
+    )
+
+
+def test_checkpoint_resume_hmc(tmp_path):
+    """HMC (incl. ChEES trajectory state) checkpoints and resumes exactly —
+    the generic state-pytree checkpoint covers every sampler."""
+    from mach3_tpu.fitters import FitModel
+    from mach3_tpu.fitters.hmc import HMC, HMCConfig
+    from mach3_tpu.params.parameterset import ParameterSet
+
+    ps = ParameterSet.from_config(
+        {
+            "Systematics": [
+                {
+                    "Systematic": {
+                        "Names": {"FancyName": "a"},
+                        "ParameterValues": {"PreFitValue": 0.0},
+                        "StepScale": {"MCMC": 1.0},
+                        "Error": 1.0,
+                        "ParameterBounds": [-10, 10],
+                        "Type": "Norm",
+                    }
+                }
+            ]
+        }
+    )
+    model = FitModel.build([ps], [])
+    init = np.zeros((4, 1))
+    cfg = HMCConfig(
+        step_size=0.3, chunk_size=25, adapt_steps=40,
+        adapt_trajectory=True, max_leapfrog=16,
+    )
+    f_ref = HMC(model, cfg, init, seed=42)
+    out_ref = f_ref.run(n_steps=100)
+
+    f_a = HMC(model, cfg, init, seed=42)
+    f_a.run(n_steps=50)
+    ckpt = str(tmp_path / "hmc_ckpt.npz")
+    save_checkpoint(ckpt, f_a, ["a"])
+    f_b = HMC(model, cfg, init, seed=0)
+    load_checkpoint(ckpt, f_b)
+    out_b = f_b.run(n_steps=50)
+    assert np.allclose(out_ref["theta"][50:], out_b["theta"])
+    assert np.allclose(
+        float(np.asarray(f_ref.state.log_traj)), float(np.asarray(f_b.state.log_traj))
+    )
