@@ -225,6 +225,7 @@ def main() -> None:
     # reference cannot do; cross-chain trajectory adaptation)
     if os.environ.get("MACH3_BENCH_HMC", "1") != "0":
         try:
+            from mach3_tpu.diagnostics.autocorr import effective_sample_size
             from mach3_tpu.fitters.hmc import HMC, HMCConfig
 
             c_hmc = 64

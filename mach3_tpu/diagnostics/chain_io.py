@@ -146,19 +146,31 @@ def load_checkpoint(path: str, fitter) -> None:
         leaves_paths = jax.tree_util.tree_leaves_with_path(fitter.state)
         treedef = jax.tree_util.tree_structure(fitter.state)
         new_leaves = []
+        consumed = set()
         for p, leaf in leaves_paths:
             k = "st" + jax.tree_util.keystr(p)
             if k + "#key" in state:
+                consumed.add(k + "#key")
                 new_leaves.append(
                     jax.random.wrap_key_data(jnp.asarray(state[k + "#key"]))
                 )
             elif k in state:
+                consumed.add(k)
                 new_leaves.append(jnp.asarray(state[k], getattr(leaf, "dtype", None)))
             else:
                 raise KeyError(
                     f"checkpoint {path} is missing state leaf {k!r}: it was "
                     "written by a fitter with a different configuration"
                 )
+        leftover = {k for k in state if k.startswith("st")} - consumed
+        if leftover:
+            # The mismatch cuts both ways: silently dropping checkpoint state
+            # (e.g. adaptive moments resumed into a non-adaptive fitter)
+            # would "resume" a different chain with no diagnostic.
+            raise KeyError(
+                f"checkpoint {path} carries state the resuming fitter does "
+                f"not declare ({sorted(leftover)}): configurations differ"
+            )
         fitter.state = jax.tree_util.tree_unflatten(treedef, new_leaves)
         step = state.get("st.step", 0)
     else:  # legacy fixed-name layout (round-1 MR2T2 checkpoints)

@@ -151,6 +151,7 @@ def make_fitter(
                 n_steps=int(g.get("NSteps", 1000)),
                 n_leapfrog=int(g.get("NLeapfrog", 16)),
                 step_size=float(g.get("StepSize", 0.01)),
+                target_accept=float(g.get("TargetAccept", 0.8)),
                 # ChEES cross-chain trajectory adaptation (the NUTS answer):
                 # on by request or when the algorithm is spelled "NUTS".
                 adapt_trajectory=bool(g.get("AdaptTrajectory", algo == "NUTS")),

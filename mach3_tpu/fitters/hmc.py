@@ -214,9 +214,8 @@ class HMC:
             # Dual averaging on the mean acceptance probability.
             accept_prob = jnp.mean(jnp.exp(log_ratio))
             t = state.step.astype(ATYPE) + 1.0
-            in_adapt = (state.step < config.adapt_steps) & jnp.asarray(
-                config.adapt_step_size
-            )
+            in_window = state.step < config.adapt_steps
+            in_adapt = in_window & jnp.asarray(config.adapt_step_size)
             kappa, gamma, t0 = 0.75, 0.05, 10.0
             mu = jnp.log(10.0 * config.step_size)
             h_bar = jnp.where(
@@ -296,14 +295,14 @@ class HMC:
                 # Adam ascent on log T (normalised gradient keeps the scale
                 # of the criterion out of the step size).
                 b1, b2, eps_a = 0.9, 0.95, 1e-8
-                traj_m = jnp.where(in_adapt, b1 * traj_m + (1 - b1) * ghat, traj_m)
+                traj_m = jnp.where(in_window, b1 * traj_m + (1 - b1) * ghat, traj_m)
                 traj_v = jnp.where(
-                    in_adapt, b2 * traj_v + (1 - b2) * ghat * ghat, traj_v
+                    in_window, b2 * traj_v + (1 - b2) * ghat * ghat, traj_v
                 )
                 tm_hat = traj_m / (1.0 - b1 ** t)
                 tv_hat = traj_v / (1.0 - b2 ** t)
                 upd = config.traj_learning_rate * tm_hat / (jnp.sqrt(tv_hat) + eps_a)
-                log_traj = jnp.where(in_adapt, log_traj + upd, log_traj)
+                log_traj = jnp.where(in_window, log_traj + upd, log_traj)
                 # keep T within [eps, max_leapfrog * eps]
                 log_traj = jnp.clip(
                     log_traj,
@@ -312,7 +311,7 @@ class HMC:
                 )
                 eta_t = t ** (-0.75)
                 log_traj_bar = jnp.where(
-                    in_adapt,
+                    in_window,
                     eta_t * log_traj + (1.0 - eta_t) * log_traj_bar,
                     log_traj_bar,
                 )

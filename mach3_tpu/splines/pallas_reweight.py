@@ -499,20 +499,8 @@ def fused_reweight_histogram_shifted(
     ]
     args = [selector, base_w, shift2d, xnom2d, static2d, coeffs]
     if has_norm:
-        npp1 = norm_ext.shape[1]
-        absext = jnp.maximum(jnp.abs(norm_ext.astype(jnp.float32)), 1e-30)
-        args.append(jnp.log(absext))
-        args.append((norm_ext < 0).astype(jnp.float32))
-        args.append(norm_s.astype(jnp.float32))
-        in_specs.append(
-            pl.BlockSpec((chain_tile, npp1), lambda ce, ee: (ce, i32(0)), memory_space=pltpu.VMEM)
-        )
-        in_specs.append(
-            pl.BlockSpec((chain_tile, npp1), lambda ce, ee: (ce, i32(0)), memory_space=pltpu.VMEM)
-        )
-        in_specs.append(
-            pl.BlockSpec((npp1, event_tile), lambda ce, ee: (i32(0), ee), memory_space=pltpu.VMEM)
-        )
+        args += _norm_args(norm_ext, norm_s)
+        in_specs += _norm_specs(norm_ext.shape[1], chain_tile, event_tile, 2)
     mc, w2 = pl.pallas_call(
         kernel,
         grid=grid,
@@ -611,23 +599,8 @@ def _shifted_blocked_call(
     ]
     args = [selector, base_w, shift2d, xnom2d, static2d, coeffs]
     if has_norm:
-        npp1 = norm_ext.shape[1]
-        absext = jnp.maximum(jnp.abs(norm_ext.astype(jnp.float32)), 1e-30)
-        args.append(jnp.log(absext))
-        args.append((norm_ext < 0).astype(jnp.float32))
-        args.append(norm_s.astype(jnp.float32))
-        in_specs.append(
-            pl.BlockSpec((chain_tile, npp1), lambda ce, ee, pe: (ce, i32(0)),
-                         memory_space=pltpu.VMEM)
-        )
-        in_specs.append(
-            pl.BlockSpec((chain_tile, npp1), lambda ce, ee, pe: (ce, i32(0)),
-                         memory_space=pltpu.VMEM)
-        )
-        in_specs.append(
-            pl.BlockSpec((npp1, event_tile), lambda ce, ee, pe: (i32(0), ee),
-                         memory_space=pltpu.VMEM)
-        )
+        args += _norm_args(norm_ext, norm_s)
+        in_specs += _norm_specs(norm_ext.shape[1], chain_tile, event_tile, 3)
     mc, w2 = pl.pallas_call(
         kernel,
         grid=grid,

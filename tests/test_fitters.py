@@ -89,6 +89,24 @@ def test_chees_hmc_adapts_trajectory_and_samples(gauss_model):
     assert np.std(draws[:, 1]) == pytest.approx(2.0, rel=0.15)
 
 
+def test_chees_adapts_with_fixed_step_size(gauss_model):
+    """Trajectory adaptation must not be gated on the (unrelated) step-size
+    adaptation flag: with adapt_step_size=False and a hand-tuned step size,
+    ChEES still has to learn the trajectory time."""
+    model, ps = gauss_model
+    init = np.tile(np.asarray(ps.prefit), (32, 1))
+    cfg = HMCConfig(
+        step_size=0.2, adapt_step_size=False, adapt_steps=200,
+        adapt_trajectory=True, max_leapfrog=32, initial_traj_length=0.25,
+    )
+    hmc = HMC(model, cfg, init, seed=3)
+    hmc.run(n_steps=400)
+    learned_t = float(np.exp(np.asarray(hmc.state.log_traj)))
+    assert learned_t > 0.5, learned_t
+    # step size stayed fixed as requested
+    assert float(np.exp(np.asarray(hmc.state.log_eps))) == pytest.approx(0.2)
+
+
 def test_mala_via_factory_samples_gaussian(gauss_model):
     """MALA = single-leapfrog HMC: the kinetic-energy MH ratio is exactly the
     Langevin asymmetric-proposal correction. Factory algo name 'MALA'."""

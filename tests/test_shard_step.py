@@ -69,6 +69,27 @@ def test_sharded_nll_matches_unsharded(setup):
     )
     np.testing.assert_allclose(np.asarray(state.nll), ref, rtol=1e-10)
 
+    # ... and through the ACTUAL shard_map + event_axis psum path (a wrong
+    # psum axis or PartitionSpec would pass the GSPMD check above).
+    from jax.sharding import PartitionSpec as P
+
+    from mach3_tpu.distributed.mesh import CHAIN_AXIS, EVENT_AXIS
+    from mach3_tpu.distributed.shard_step import _CHECK_KW, shard_map
+
+    f = jax.jit(
+        shard_map(
+            lambda m, t: m.total_nll_batch_parts(
+                t, want_parts=False, event_axis=EVENT_AXIS
+            )[0],
+            mesh=mesh,
+            in_specs=(model_pspecs(model), P(CHAIN_AXIS, None)),
+            out_specs=P(CHAIN_AXIS),
+            **{_CHECK_KW: False},
+        )
+    )
+    sharded = np.asarray(f(model, state.theta))
+    np.testing.assert_allclose(sharded, ref, rtol=1e-10)
+
 
 def test_sharded_chunk_runs_and_is_deterministic(setup):
     mesh, toy, model = setup
