@@ -275,6 +275,11 @@ def main() -> None:
                 "value": round(chain_steps_per_sec, 2),
                 "unit": f"chain-steps/s ({n_chains} chains x {n_events} events, 1 chip)",
                 "vs_baseline": round(chain_steps_per_sec / 10.0, 2),
+                "vs_baseline_note": (
+                    "anchor is the reference's aspirational '<0.1 s/step' "
+                    "ND-reweight note (10 steps/s, 1 chain), not a measured "
+                    "number — BASELINE.json is empty"
+                ),
                 **extras,
             }
         )

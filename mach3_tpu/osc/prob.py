@@ -114,6 +114,37 @@ def probabilities_const_density(
     return jnp.swapaxes(p, -1, -2)
 
 
+def _evolve_layers(eig: dict, ll_b: jnp.ndarray, ri_b: jnp.ndarray, ne: int, dtype):
+    """Ordered product of per-layer evolution operators.
+
+    ll_b/ri_b: [..., NL] broadcast layer lengths / unique-density indices.
+    Returns the (real, imag) amplitude pair of shape [..., NE, 3, 3].
+    """
+    n_layers = ll_b.shape[-1]
+    batch_shape = ll_b.shape[:-1] + (ne,)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), batch_shape + (3, 3))
+    amp = (eye, jnp.zeros_like(eye))
+
+    def step(carry, layer):
+        ll, ridx = layer  # [...], [...] i32
+        eg = {k: v[ridx] for k, v in eig.items()}  # gather -> [..., NE, ...]
+        op = evolution_from_eigensystem(eg, ll[..., None].astype(ATYPE))
+        return c_matmul(op, carry), None
+
+    if n_layers <= 16:
+        # Static unroll: the whole layer chain is elementwise (+ tiny gathers),
+        # so XLA fuses consecutive layers into few passes instead of
+        # materialising the [*, NE, 3, 3] amplitude carry in HBM every scan
+        # step — the scan form was HBM-bound (~3 GB/step at 64 chains x
+        # 20 zenith x 50 E for the coarse 11-segment PREM path).
+        for k in range(n_layers):
+            amp, _ = step(amp, (ll_b[..., k], ri_b[..., k]))
+    else:
+        layers = (jnp.moveaxis(ll_b, -1, 0), jnp.moveaxis(ri_b, -1, 0))
+        amp, _ = jax.lax.scan(step, amp, layers)
+    return amp
+
+
 def probabilities_layered(
     params: OscParams,
     energy: jnp.ndarray,  # [NE]
@@ -124,6 +155,7 @@ def probabilities_layered(
     dtype=ATYPE,
     rho_unique: jnp.ndarray | None = None,  # [NR] unique densities
     rho_idx: jnp.ndarray | None = None,  # [..., NL] i32 into rho_unique
+    z_groups: tuple | None = None,  # static ((z indices, n_layers), ...)
 ) -> jnp.ndarray:
     """P[..., NE, alpha, beta] through a layered medium (atmospheric/PREM case;
     CUDAProb3 equivalent). Leading axes of layer_lengths/rho (e.g. zenith bins)
@@ -139,6 +171,15 @@ def probabilities_layered(
     ``rho_unique``/``rho_idx`` precomputed (static config data); when omitted
     they are derived here, which requires ``layer_rho`` to be concrete (a
     closed-over constant, not a traced argument).
+
+    z_groups: optional STATIC partition of the second-to-last axis (the zenith
+    bins) as ``((zenith indices, n_layers), ...)``: each group's matmul chain
+    is unrolled only to its own segment count, so the ~half of an up/down
+    zenith grid that is down-going (one vacuum/air segment) stops paying the
+    full NL-layer chain of padded identity products. Probabilities are
+    reassembled in the original zenith order — the output is bit-identical in
+    structure to the ungrouped call. ``build_atmo_osc_config`` precomputes
+    this from the path geometry.
     """
     import numpy as np
 
@@ -183,27 +224,27 @@ def probabilities_layered(
         h_phase=(hr64, hi64),
     )
 
-    def step(carry, layer):
-        ll, ridx = layer  # [...], [...] i32
-        eg = {k: v[ridx] for k, v in eig.items()}  # gather -> [..., NE, ...]
-        op = evolution_from_eigensystem(eg, ll[..., None].astype(ATYPE))
-        return c_matmul(op, carry), None
-
-    batch_shape = lead + (ne,)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), batch_shape + (3, 3))
-    init = (eye, jnp.zeros_like(eye))
     ll_b = jnp.broadcast_to(layer_lengths, lead + (n_layers,))
     ri_b = jnp.broadcast_to(rho_idx, lead + (n_layers,))
-    if n_layers <= 16:
-        # Static unroll: the whole layer chain is elementwise (+ tiny gathers),
-        # so XLA fuses consecutive layers into few passes instead of
-        # materialising the [*, NE, 3, 3] amplitude carry in HBM every scan
-        # step — the scan form was HBM-bound (~3 GB/step at 64 chains x
-        # 20 zenith x 50 E for the coarse 11-segment PREM path).
-        amp = init
-        for k in range(n_layers):
-            amp, _ = step(amp, (ll_b[..., k], ri_b[..., k]))
+    if z_groups is None:
+        amp = _evolve_layers(eig, ll_b, ri_b, ne, dtype)
     else:
-        layers = (jnp.moveaxis(ll_b, -1, 0), jnp.moveaxis(ri_b, -1, 0))
-        amp, _ = jax.lax.scan(step, init, layers)
+        parts_r, parts_i, order = [], [], []
+        for idxs, nl in z_groups:
+            ia = jnp.asarray(idxs, jnp.int32)
+            a = _evolve_layers(
+                eig,
+                jnp.take(ll_b, ia, axis=-2)[..., :nl],
+                jnp.take(ri_b, ia, axis=-2)[..., :nl],
+                ne,
+                dtype,
+            )
+            parts_r.append(a[0])
+            parts_i.append(a[1])
+            order.extend(idxs)
+        inv = jnp.asarray(np.argsort(np.asarray(order)), jnp.int32)
+        amp = (
+            jnp.take(jnp.concatenate(parts_r, axis=-4), inv, axis=-4),
+            jnp.take(jnp.concatenate(parts_i, axis=-4), inv, axis=-4),
+        )
     return jnp.swapaxes(c_abs2(amp), -1, -2)

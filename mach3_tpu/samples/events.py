@@ -230,6 +230,22 @@ def build_atmo_osc_config(
     flat = (inverse.reshape(-1) * nz + z_idx) * ne + e_idx
 
     rho_u, rho_inv = np.unique(np.asarray(rho_eff).ravel(), return_inverse=True)
+
+    # Static zenith partition by segment count: down-going bins have ONE air
+    # segment but would otherwise pay the full NL-layer padded matmul chain.
+    # Groups of equal count evaluate with their own (shorter) unroll and the
+    # grid is reassembled in original order (osc/prob.py z_groups).
+    nseg = (np.asarray(lengths) > 0).sum(axis=-1)  # [NZ] or [H, NZ]
+    if nseg.ndim == 2:
+        nseg = nseg.max(axis=0)
+    nseg = np.maximum(nseg, 1)
+    groups = []
+    for nl in sorted(set(int(v) for v in nseg)):
+        idxs = tuple(int(i) for i in np.nonzero(nseg == nl)[0])
+        assert np.all(np.asarray(lengths)[..., list(idxs), nl:] == 0.0)
+        groups.append((idxs, nl))
+    z_groups = tuple(groups) if len(groups) > 1 else None
+
     return AtmoOscConfig(
         e_grid=jnp.asarray(e_grid, ATYPE),
         layer_lengths=jnp.asarray(lengths, ATYPE),
@@ -243,6 +259,7 @@ def build_atmo_osc_config(
         nc_mask=jnp.asarray(np.isin(events.mode, list(nc_modes))),
         osc_param_idx=jnp.asarray(list(osc_param_gidx), ITYPE),
         height_weights=None if hw is None else jnp.asarray(hw, ATYPE),
+        z_groups=z_groups,
     )
 
 

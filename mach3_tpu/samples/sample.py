@@ -154,6 +154,11 @@ class AtmoOscConfig:
     # grids are the height-weighted average Σ_h w_h P(h). None = single
     # fixed height (no extra axis, no extra cost).
     height_weights: jnp.ndarray | None = None  # [H], sums to 1
+    # Static zenith partition ((z indices, n_layers), ...): each group's layer
+    # chain unrolls only to its own segment count — down-going bins (one air
+    # segment) skip the padded-identity products of the full PREM chain.
+    # Precomputed by build_atmo_osc_config; None evaluates all bins at NL.
+    z_groups: tuple | None = struct.field(pytree_node=False, default=None)
     dtype: jnp.dtype = struct.field(pytree_node=False, default=jnp.float32)
 
     def prob_grids(self, params: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -169,6 +174,7 @@ class AtmoOscConfig:
                 osc_pars, self.e_grid, self.layer_lengths, self.layer_rho,
                 antineutrino=antineutrino, dtype=self.dtype,
                 rho_unique=self.rho_unique, rho_idx=self.rho_idx,
+                z_groups=self.z_groups,
             )
             if self.height_weights is not None:
                 w = self.height_weights.astype(p.dtype)
@@ -201,6 +207,7 @@ class AtmoOscConfig:
             None
             if self.height_weights is None
             else _np.asarray(self.height_weights).tobytes(),
+            self.z_groups,
             str(self.dtype),
         )
 

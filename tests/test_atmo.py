@@ -103,3 +103,24 @@ def test_production_height_averaging(atmo_sample):
     np.testing.assert_allclose(p_avg, p_manual, atol=1e-6)
     # the average must actually differ from either endpoint (heights matter)
     assert not np.allclose(p_avg, np.asarray(lo.prob_grids(PDG_OSC)[0]), atol=1e-6)
+
+
+def test_zenith_group_split_matches_full_chain(atmo_sample):
+    """The static zenith partition (per-group unroll depth) must reproduce the
+    full padded NL-layer chain bit-for-bit in structure: same grids, same
+    per-event weights."""
+    ev, sm = atmo_sample
+    cfg = sm.osc
+    assert cfg.z_groups is not None and len(cfg.z_groups) > 1
+    # every zenith bin appears exactly once across groups
+    all_idx = sorted(i for idxs, _ in cfg.z_groups for i in idxs)
+    assert all_idx == list(range(cfg.layer_lengths.shape[-2]))
+    # down-going bins form a short group (1 air segment)
+    assert min(nl for _, nl in cfg.z_groups) == 1
+    full = cfg.replace(z_groups=None)
+    p_g = np.asarray(cfg.prob_grids(PDG_OSC)[0])
+    p_f = np.asarray(full.prob_grids(PDG_OSC)[0])
+    np.testing.assert_allclose(p_g, p_f, atol=1e-6)
+    w_g = np.asarray(jax.jit(sm._osc_weights)(PDG_OSC))
+    w_f = np.asarray(jax.jit(sm.replace(osc=full)._osc_weights)(PDG_OSC))
+    np.testing.assert_allclose(w_g, w_f, atol=1e-6)
