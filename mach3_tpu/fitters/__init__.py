@@ -6,6 +6,7 @@ from .minimize import FitResult, run_minimizer
 from .model import FitModel
 from .pso import PSOConfig, PSOResult, run_pso
 from .scans import drag_race, llh_map, llh_scan_1d, llh_scan_2d, sigma_variations
+from .tempering import ParallelTempering, PTConfig
 
 __all__ = [
     "DelayedConfig",
@@ -26,6 +27,8 @@ __all__ = [
     "PSOConfig",
     "PSOResult",
     "run_pso",
+    "ParallelTempering",
+    "PTConfig",
     "drag_race",
     "llh_map",
     "llh_scan_1d",

@@ -173,6 +173,19 @@ def make_fitter(
             rng = np.random.default_rng(seed)
             init_theta = init_theta + 1e-4 * rng.normal(size=init_theta.shape)
         return EnsembleSampler(model, ec, init_theta, seed=seed)
+    if algo in ("ParallelTempering", "PTMCMC", "PT"):
+        from .tempering import ParallelTempering, PTConfig
+
+        g = cfg.sub("General").sub("MCMC") if cfg.has("General.MCMC") else Config({})
+        pc = PTConfig(
+            n_steps=int(g.get("NSteps", 1000)),
+            chunk_size=int(g.get("AutoSave", 100)),
+            n_temps=int(cfg.get("General.PT.NTemps", 8)),
+            max_temp=float(cfg.get("General.PT.MaxTemp", 64.0)),
+            swap_every=int(cfg.get("General.PT.SwapEvery", 1)),
+            scale_throws=bool(cfg.get("General.PT.ScaleThrows", True)),
+        )
+        return ParallelTempering(model, pc, init_theta, seed=seed)
     if algo == "PSO":
         from .pso import PSOConfig, run_pso
 

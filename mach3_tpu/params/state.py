@@ -156,7 +156,8 @@ def propose_step(
 
 
 def propose_step_batch(
-    model: PriorModel, current: jnp.ndarray, key: jax.Array
+    model: PriorModel, current: jnp.ndarray, key: jax.Array,
+    scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Correlated proposals for a CHAIN BATCH: current [C, P] -> [C, P].
 
@@ -164,11 +165,17 @@ def propose_step_batch(
     total (one normal batch, one uniform batch) instead of per-chain key
     splits — hundreds of tiny threefry derivations per step measurably cost
     on TPU — and the Cholesky correlation as ONE [C, K] @ [K, P] matmul.
+
+    scale: optional [C] per-chain throw multiplier (parallel tempering scales
+    hot chains' throws by sqrt(T)); None = 1.
     """
     key_norm, key_flip = jax.random.split(key)
     c = current.shape[0]
     z = jax.random.normal(key_norm, (c, model.chol.shape[1]), dtype=ATYPE)
-    prop = current + (z @ model.chol.T) * model.step_scale[None, :]
+    delta = (z @ model.chol.T) * model.step_scale[None, :]
+    if scale is not None:
+        delta = delta * scale[:, None]
+    prop = current + delta
 
     wrapped = circular_wrap(prop, model.circ_low, model.circ_high)
     prop = jnp.where(model.circ_mask & ~model.fixed, wrapped, prop)
