@@ -148,3 +148,25 @@ def test_factory_builds_parallel_tempering(bimodal_model):
     assert isinstance(f, ParallelTempering)
     out = f.run(n_steps=10)
     assert out["theta"].shape == (10, 12, 1)
+
+
+def test_pt_checkpoint_resume_exact(tmp_path, bimodal_model):
+    """The generic sampler checkpoint must resume a PT fit exactly (same
+    state pytree in, same draws out)."""
+    from mach3_tpu.diagnostics.chain_io import load_checkpoint, save_checkpoint
+
+    init = np.full((4, 1), THETA_STAR)
+    cfgp = PTConfig(n_temps=3, max_temp=9.0, chunk_size=20)
+    a = ParallelTempering(bimodal_model, cfgp, init, seed=11)
+    a.run(n_steps=40)
+    ckpt = str(tmp_path / "pt_ckpt.npz")
+    save_checkpoint(ckpt, a, ["mu"])
+
+    b = ParallelTempering(bimodal_model, cfgp, init, seed=999)
+    load_checkpoint(ckpt, b)
+    out_a = a.run(n_steps=30)
+    out_b = b.run(n_steps=30)
+    np.testing.assert_array_equal(out_a["theta"], out_b["theta"])
+    np.testing.assert_array_equal(
+        np.asarray(a.state.swap_accepts), np.asarray(b.state.swap_accepts)
+    )
