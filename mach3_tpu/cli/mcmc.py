@@ -94,6 +94,10 @@ def main(argv: list[str] | None = None) -> int:
         log.info("profiler trace written to %s", args.profile)
 
     out = fitter.run(n_steps=n_steps, callback=progress)
+    if hasattr(fitter, "cold_chain"):
+        # Parallel tempering: only the β=1 level is posterior draws — the hot
+        # levels are mixing machinery and must not enter the chain file.
+        out = fitter.cold_chain(out)
     prefit = np.concatenate([np.asarray(ps.prefit) for ps in param_sets])
     prefit_err = np.concatenate([np.asarray(ps.errors) for ps in param_sets])
     save_chain(

@@ -50,6 +50,10 @@ class PTState:
     n_accepted: jnp.ndarray  # [T*W] i32
     swap_attempts: jnp.ndarray  # [T-1] i32
     swap_accepts: jnp.ndarray  # [T-1] i32
+    # Robbins-Monro per-level log throw scale [T]: the sqrt(T) heuristic is
+    # only right when the tempered target flattens uniformly; the untempered
+    # prior does not, so each level tunes its own scale to target acceptance.
+    log_scale: jnp.ndarray
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,8 +68,13 @@ class PTConfig:
     #: Attempt swaps every this many MH steps (alternating pair parity).
     swap_every: int = 1
     #: Scale level-t throws by T_t^0.5 so hot chains take usefully larger
-    #: steps (their tempered target is flatter by exactly that factor).
+    #: steps (their tempered target is flatter by roughly that factor).
     scale_throws: bool = True
+    #: Robbins-Monro per-level global-scale adaptation toward the optimal
+    #: acceptance (same stochastic approximation as MR2T2's adaptive mode):
+    #: corrects the sqrt(T) heuristic where the untempered prior dominates.
+    robbins_monro: bool = True
+    target_accept: float = 0.234
 
 
 def temperature_ladder(n_temps: int, max_temp: float) -> np.ndarray:
@@ -82,11 +91,9 @@ def make_pt_step_fn_args(config: PTConfig, n_walkers: int):
     temps = temperature_ladder(n_t, config.max_temp)
     betas = jnp.asarray(1.0 / temps, ATYPE)  # [T]
     beta_c = jnp.repeat(betas, n_walkers)  # [T*W]
-    throw_scale = (
-        jnp.repeat(jnp.asarray(np.sqrt(temps), ATYPE), n_walkers)
-        if config.scale_throws
-        else None
-    )
+    base_scale = jnp.asarray(
+        np.sqrt(temps) if config.scale_throws else np.ones(n_t), ATYPE
+    )  # [T]
 
     def nll_parts(model: FitModel, thetas: jnp.ndarray):
         """(prior [C], E [C]) with the OOB sentinel folded into E."""
@@ -104,6 +111,7 @@ def make_pt_step_fn_args(config: PTConfig, n_walkers: int):
         c = state.theta.shape[0]
 
         # ---- tempered Metropolis step (one batched likelihood evaluation)
+        throw_scale = jnp.repeat(base_scale * jnp.exp(state.log_scale), n_walkers)
         proposed = propose_step_batch(
             model._flat(), state.theta, k_prop, scale=throw_scale
         )
@@ -118,6 +126,16 @@ def make_pt_step_fn_args(config: PTConfig, n_walkers: int):
 
         # ---- replica-exchange phase (no likelihood evaluations)
         step = state.step + 1
+
+        # Robbins-Monro per-level scale toward the target acceptance (same
+        # stochastic-approximation schedule as the adaptive MR2T2 scale).
+        log_scale = state.log_scale
+        if config.robbins_monro:
+            acc_level = jnp.mean(acc_prob.reshape(n_t, n_walkers), axis=1)
+            gamma = 2.0 / jnp.maximum(step.astype(ATYPE), 1.0) ** 0.66
+            log_scale = jnp.clip(
+                log_scale + gamma * (acc_level - config.target_accept), -8.0, 4.0
+            )
         swap_attempts = state.swap_attempts
         swap_accepts = state.swap_accepts
         if n_t > 1:
@@ -159,6 +177,7 @@ def make_pt_step_fn_args(config: PTConfig, n_walkers: int):
             n_accepted=state.n_accepted + accept.astype(jnp.int32),
             swap_attempts=swap_attempts,
             swap_accepts=swap_accepts,
+            log_scale=log_scale,
         )
         outputs = {
             "theta": theta,
@@ -225,6 +244,7 @@ class ParallelTempering:
             n_accepted=jnp.zeros((theta0.shape[0],), jnp.int32),
             swap_attempts=jnp.zeros((max(n_t - 1, 1),), jnp.int32),
             swap_accepts=jnp.zeros((max(n_t - 1, 1),), jnp.int32),
+            log_scale=jnp.zeros((n_t,), ATYPE),
         )
         _log.info(
             "parallel tempering: %d levels x %d walkers, T_max=%g, swap every %d",
@@ -256,6 +276,14 @@ class ParallelTempering:
         """The β=1 (posterior) slice of a run's outputs."""
         w = self.n_walkers
         return {k: v[:, :w] if v.ndim >= 2 else v for k, v in out.items()}
+
+    def online_rhat(self, recent: dict[str, np.ndarray]) -> np.ndarray:
+        """Split R-hat over the COLD (β=1) walkers of a chunk's draws — the
+        hot levels target different distributions and must not enter the
+        convergence statistic."""
+        from ..diagnostics.rhat import split_rhat
+
+        return np.asarray(split_rhat(recent["theta"][:, : self.n_walkers]))
 
     @property
     def swap_acceptance(self) -> np.ndarray:

@@ -126,3 +126,26 @@ def test_plot_multichain_comparison(chain_file, tmp_path):
     rc = cli_plot.main([chain_file, chain_file, "-o", outdir])
     assert rc == 0
     assert os.path.exists(os.path.join(outdir, "posterior_comparison.png"))
+
+
+def test_mcmc_parallel_tempering_saves_cold_chains_only(tmp_path):
+    """PT through the CLI: the chain file must hold only the beta=1 walkers
+    (hot levels are mixing machinery, not posterior draws)."""
+    from mach3_tpu.diagnostics.chain_io import load_chain
+
+    out = str(tmp_path / "pt_chain.npz")
+    rc = cli_mcmc.main(
+        [
+            "General:FittingAlgorithm:PTMCMC",
+            "General:MCMC:NSteps:60",
+            "General:MCMC:NChains:4",
+            "General:MCMC:AutoSave:30",
+            "General:PT:NTemps:3",
+            "Toy:NEvents:1000",
+            "-o",
+            out,
+        ]
+    )
+    assert rc == 0
+    draws, meta, _ = load_chain(out)
+    assert draws["theta"].shape[1] == 4  # walkers, not 3*4 level-major chains
