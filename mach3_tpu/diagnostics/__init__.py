@@ -15,6 +15,11 @@ from .chain_io import (
     save_chain,
     save_checkpoint,
 )
+from .evidence import (
+    log_prior_mass,
+    stepping_stone_log_evidence,
+    thermodynamic_log_evidence,
+)
 from .processor import ChainProcessor, PosteriorSummary
 from .rhat import StreamingRhat, folded_rhat, rank_normalised_rhat, rhat, split_rhat
 
@@ -28,6 +33,9 @@ __all__ = [
     "integrated_autocorr_time",
     "power_spectrum",
     "combine_chains",
+    "log_prior_mass",
+    "stepping_stone_log_evidence",
+    "thermodynamic_log_evidence",
     "load_chain",
     "load_checkpoint",
     "save_chain",

@@ -75,6 +75,11 @@ class PTConfig:
     #: corrects the sqrt(T) heuristic where the untempered prior dominates.
     robbins_monro: bool = True
     target_accept: float = 0.234
+    #: Make the hottest level the PRIOR itself (β = 0). Required for marginal
+    #: likelihood estimation (``diagnostics/evidence.py``): the stepping-stone
+    #: / thermodynamic-integration ladder must span the full β ∈ [0, 1] range.
+    #: The remaining n_temps-1 levels keep the geometric spacing.
+    beta_zero: bool = False
 
 
 def temperature_ladder(n_temps: int, max_temp: float) -> np.ndarray:
@@ -84,15 +89,33 @@ def temperature_ladder(n_temps: int, max_temp: float) -> np.ndarray:
     return max_temp ** (np.arange(n_temps) / (n_temps - 1))
 
 
+def pt_betas(config: PTConfig) -> np.ndarray:
+    """Inverse-temperature ladder [n_temps], descending from β₀ = 1.
+
+    Geometric in temperature; with ``beta_zero`` the last level is β = 0 (the
+    bounded prior itself) and the geometric part spans the first
+    ``n_temps - 1`` levels."""
+    if config.beta_zero:
+        if config.n_temps < 3:
+            raise ValueError("beta_zero needs n_temps >= 3")
+        core = 1.0 / temperature_ladder(config.n_temps - 1, config.max_temp)
+        return np.concatenate([core, [0.0]])
+    return 1.0 / temperature_ladder(config.n_temps, config.max_temp)
+
+
 def make_pt_step_fn_args(config: PTConfig, n_walkers: int):
     """Pure transition ``step(model, state)`` (model as a traced argument —
     same rationale as ``make_step_fn_args``)."""
     n_t = config.n_temps
-    temps = temperature_ladder(n_t, config.max_temp)
-    betas = jnp.asarray(1.0 / temps, ATYPE)  # [T]
+    betas_np = pt_betas(config)
+    betas = jnp.asarray(betas_np, ATYPE)  # [T]
     beta_c = jnp.repeat(betas, n_walkers)  # [T*W]
+    # Throw scale heuristic ~ sqrt(T); the β=0 level has no likelihood scale
+    # at all, so seed it like the hottest tempered level (Robbins-Monro takes
+    # over from there).
+    scales_np = np.sqrt(1.0 / np.maximum(betas_np, 1.0 / config.max_temp))
     base_scale = jnp.asarray(
-        np.sqrt(temps) if config.scale_throws else np.ones(n_t), ATYPE
+        scales_np if config.scale_throws else np.ones(n_t), ATYPE
     )  # [T]
 
     def nll_parts(model: FitModel, thetas: jnp.ndarray):
@@ -182,6 +205,9 @@ def make_pt_step_fn_args(config: PTConfig, n_walkers: int):
         outputs = {
             "theta": theta,
             "nll": prior_nll + sample_nll,  # untempered -logL of every level
+            # Untempered sample -logL per level: the raw material for the
+            # stepping-stone / thermodynamic-integration evidence estimators.
+            "sample_nll": sample_nll,
             "acc_prob": acc_prob,
             "accepted": accept,
         }
@@ -271,6 +297,50 @@ class ParallelTempering:
             if callback is not None:
                 callback(done, self.state, host)
         return {k: np.concatenate([c[k] for c in chunks], axis=0) for k in chunks[0]}
+
+    def log_evidence(
+        self,
+        out: dict[str, np.ndarray],
+        burn_frac: float = 0.3,
+        method: str = "stepping_stone",
+        normalise_prior: bool = True,
+    ) -> float:
+        """Marginal likelihood from this run's per-level draws (see
+        ``diagnostics/evidence.py``). Requires ``PTConfig(beta_zero=True)`` so
+        the ladder spans β ∈ [0, 1].
+
+        The raw estimate is log Z(1) − log Z(0) with
+        Z(β) = ∫ exp(-prior_nll) like(θ)^β dθ, i.e. the evidence against the
+        NORMALISED (bound-truncated) prior — that is what a Bayes factor
+        between fits sharing the prior wants, and it is the default. With
+        ``normalise_prior=False`` the Gaussian prior mass
+        (``log_prior_mass``) is added back, giving Z against the raw
+        exp(-prior_nll) measure.
+        """
+        from ..diagnostics.evidence import (
+            log_prior_mass,
+            stepping_stone_log_evidence,
+            thermodynamic_log_evidence,
+        )
+
+        betas = pt_betas(self.config)
+        if betas.min() > 0:
+            raise ValueError(
+                "log_evidence needs PTConfig(beta_zero=True): the ladder "
+                f"stops at beta={betas.min():.3g}, not 0"
+            )
+        e = out["sample_nll"]  # [S, T*W]
+        s0 = int(e.shape[0] * burn_frac)
+        e = e[s0:].reshape(e.shape[0] - s0, self.config.n_temps, self.n_walkers)
+        fn = (
+            stepping_stone_log_evidence
+            if method == "stepping_stone"
+            else thermodynamic_log_evidence
+        )
+        logz = float(fn(e, betas))
+        if not normalise_prior:
+            logz += log_prior_mass(self.model)
+        return logz
 
     def cold_chain(self, out: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         """The β=1 (posterior) slice of a run's outputs."""
