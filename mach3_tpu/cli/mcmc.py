@@ -94,18 +94,27 @@ def main(argv: list[str] | None = None) -> int:
         log.info("profiler trace written to %s", args.profile)
 
     out = fitter.run(n_steps=n_steps, callback=progress)
+    extra_meta: dict = {}
     if hasattr(fitter, "cold_chain"):
-        # Parallel tempering: only the β=1 level is posterior draws — the hot
-        # levels are mixing machinery and must not enter the chain file.
+        # Parallel tempering: a beta_zero ladder yields the marginal
+        # likelihood for free (diagnostics/evidence.py) — record it before
+        # dropping the hot levels from the chain file.
+        if getattr(fitter.config, "beta_zero", False):
+            logz = fitter.log_evidence(out)
+            extra_meta["log_evidence"] = logz
+            log.info("log evidence (stepping-stone, normalised prior): %.4f", logz)
+        # Only the β=1 level is posterior draws — the hot levels are mixing
+        # machinery and must not enter the chain file.
         out = fitter.cold_chain(out)
     prefit = np.concatenate([np.asarray(ps.prefit) for ps in param_sets])
     prefit_err = np.concatenate([np.asarray(ps.errors) for ps in param_sets])
+    extra_meta.update(prefit=prefit.tolist(), prefit_err=prefit_err.tolist())
     save_chain(
         args.output,
         out,
         names,
         config_yaml=cfg.to_yaml(),
-        extra_meta={"prefit": prefit.tolist(), "prefit_err": prefit_err.tolist()},
+        extra_meta=extra_meta,
     )
     save_checkpoint(args.output + ".ckpt", fitter, names, cfg.to_yaml())
     log.info("Wrote %s (+.ckpt)", args.output)

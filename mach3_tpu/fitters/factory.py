@@ -184,6 +184,7 @@ def make_fitter(
             max_temp=float(cfg.get("General.PT.MaxTemp", 64.0)),
             swap_every=int(cfg.get("General.PT.SwapEvery", 1)),
             scale_throws=bool(cfg.get("General.PT.ScaleThrows", True)),
+            beta_zero=bool(cfg.get("General.PT.BetaZero", False)),
         )
         return ParallelTempering(model, pc, init_theta, seed=seed)
     if algo == "PSO":

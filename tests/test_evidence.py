@@ -149,6 +149,24 @@ def test_pt_evidence_matches_closed_form(linear_evidence_fit):
     assert raw - ss == pytest.approx(log_prior_mass(model), rel=1e-10)
 
 
+def test_factory_beta_zero_key(linear_evidence_fit):
+    from mach3_tpu.fitters.factory import make_fitter
+
+    model, _, _ = linear_evidence_fit
+    cfg = Config(
+        {
+            "General": {
+                "FittingAlgorithm": "PT",
+                "MCMC": {"NSteps": 4, "AutoSave": 4, "NChains": 4},
+                "PT": {"NTemps": 4, "BetaZero": True, "MaxTemp": 16.0},
+            }
+        }
+    )
+    pt = make_fitter(cfg, model)
+    assert pt.config.beta_zero is True
+    assert pt_betas(pt.config)[-1] == 0.0
+
+
 def test_log_evidence_requires_beta_zero(linear_evidence_fit):
     model, _, _ = linear_evidence_fit
     cfg = PTConfig(n_steps=4, chunk_size=4, n_temps=4, max_temp=16.0)
