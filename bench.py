@@ -119,11 +119,13 @@ def main() -> None:
     try:
         thetas = jnp.asarray(init)
         comp = {}
-        keys = jax.random.split(jax.random.key(0), n_chains)
+        from mach3_tpu.params.state import propose_step_batch
+
+        key0 = jax.random.key(0)
         comp["propose_ms"] = round(
             1e3 * scan_time(
                 jax, jnp,
-                lambda m, th: jax.vmap(m.propose)(th, keys),
+                lambda m, th: propose_step_batch(m._flat(), th, key0),
                 toy.model,
                 thetas,
             ), 3,

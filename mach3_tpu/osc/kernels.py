@@ -108,6 +108,70 @@ def herm_eigvals(hr: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
     return q[..., None] + 2.0 * p[..., None] * jnp.cos(ang)
 
 
+def herm_char_poly(hr: jnp.ndarray, hi: jnp.ndarray):
+    """Characteristic-polynomial coefficients of a Hermitian 3x3 batch:
+    p(λ) = λ³ − tr·λ² + c1·λ − det with real (tr, c1, det). Polynomial ops
+    only — safe to evaluate in f64 on TPU (f64 mult/add is cheap even
+    emulated; it is the f64 transcendentals that are ~20x)."""
+    tr = hr[..., 0, 0] + hr[..., 1, 1] + hr[..., 2, 2]
+    c1 = jnp.zeros_like(tr)
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        c1 = c1 + (
+            hr[..., i, i] * hr[..., j, j]
+            - hr[..., i, j] * hr[..., i, j]
+            - hi[..., i, j] * hi[..., i, j]
+        )
+    return tr, c1, herm_det(hr, hi)
+
+
+def newton_refined_eigvals(
+    seeds: jnp.ndarray, hr_p: jnp.ndarray, hi_p: jnp.ndarray, dtype
+) -> jnp.ndarray:
+    """Polish low-precision eigenvalue seeds to ``dtype`` accuracy with two
+    Newton iterations on the f64 characteristic polynomial.
+
+    The trigonometric Cardano solve (`herm_eigvals`) needs sqrt/arccos/cos —
+    software-emulated and dominant in f64 on TPU. Seeding with the f32 solve
+    and refining with pure polynomial f64 arithmetic reaches ~1e-14 relative
+    accuracy for separated roots (Newton doubles correct digits; f32 seeds
+    start at ~1e-7). Newton is only LINEAR at a near-double root, so the
+    closest pair is instead recovered by deflating the characteristic cubic
+    by the opposite (well-separated, quadratically-converged) root and
+    solving the remaining quadratic — polynomial ops plus ONE f64 sqrt,
+    accurate to the same sqrt(eps)·scale conditioning floor as the f64
+    Cardano solve. Total f64 transcendental count per point: 1 sqrt (vs
+    1 sqrt + 1 arccos + 3 cos)."""
+    tr, c1, det = herm_char_poly(hr_p.astype(dtype), hi_p.astype(dtype))
+    trn, c1n, detn = tr[..., None], c1[..., None], det[..., None]
+    # eigenvalue-spread scale² (units λ²): tr(H'²)/6 = tr²/9 − c1/3, floored
+    # to avoid 0/0 for the zero matrix
+    s2 = jnp.maximum(trn * trn / 9.0 - c1n / 3.0, 1e-300)
+    lam = jnp.sort(seeds.astype(dtype), axis=-1)
+    for _ in range(2):
+        pval = ((lam - trn) * lam + c1n) * lam - detn
+        pder = (3.0 * lam - 2.0 * trn) * lam + c1n
+        ok = jnp.abs(pder) > 1e-10 * s2
+        delta = jnp.where(ok, pval / jnp.where(ok, pder, 1.0), 0.0)
+        lam = lam - jnp.clip(delta, -jnp.sqrt(s2), jnp.sqrt(s2))
+    # Deflate by the root farthest from the other two; the closest pair is
+    # λ± = s/2 ± sqrt((s/2)² − q) with s = tr − lone, q = c1 − lone·s.
+    pair_low = lam[..., 1] - lam[..., 0] < lam[..., 2] - lam[..., 1]
+    lone = jnp.where(pair_low, lam[..., 2], lam[..., 0])
+    s = tr - lone
+    q = c1 - lone * s
+    half = 0.5 * s
+    r = jnp.sqrt(jnp.maximum(half * half - q, 0.0))
+    out = jnp.stack(
+        [
+            jnp.where(pair_low, half - r, lone),
+            jnp.where(pair_low, half + r, half - r),
+            jnp.where(pair_low, lone, half + r),
+        ],
+        axis=-1,
+    )
+    return jnp.sort(out, axis=-1)
+
+
 _TWO_PI = 6.283185307179586476925286766559
 
 
@@ -163,9 +227,18 @@ def herm_eigensystem(
     segment with that density (the eigensolve dominates the layered cost)."""
     phase_dtype = phase_dtype or hr.dtype
     hr_p, hi_p = h_phase if h_phase is not None else (hr, hi)
-    lam_p = jnp.sort(
-        herm_eigvals(hr_p.astype(phase_dtype), hi_p.astype(phase_dtype)), axis=-1
-    )  # ascending [..., 3]
+    if jnp.dtype(phase_dtype) != jnp.dtype(hr.dtype):
+        # Mixed-precision production path (f32 matrices, f64 phases): the f64
+        # Cardano solve is dominated by software-emulated sqrt/arccos/cos.
+        # Seed with the fast f32 solve and Newton-polish on the f64
+        # characteristic polynomial — polynomial f64 ops only.
+        seeds = herm_eigvals(hr, hi)
+        lam_p = newton_refined_eigvals(seeds, hr_p, hi_p, phase_dtype)
+    else:
+        lam_p = jnp.sort(
+            herm_eigvals(hr_p.astype(phase_dtype), hi_p.astype(phase_dtype)),
+            axis=-1,
+        )  # ascending [..., 3]
     lam = lam_p.astype(hr.dtype)
     eye = jnp.eye(3, dtype=hr.dtype)
     m1_r = hr - lam[..., 0, None, None] * eye  # H - λ1 (imag part is hi)

@@ -221,3 +221,51 @@ def test_f32_phases_match_f64_at_beam_baseline():
             dtype=jnp.float32, phase_dtype=jnp.float32,
         )
         assert float(jnp.max(jnp.abs(p64 - p32.astype(jnp.float64)))) < 1e-5
+
+
+def test_newton_refined_eigvals_match_eigvalsh():
+    """f32-seeded + f64-Newton-polished eigenvalues agree with LAPACK to
+    ~1e-13 of the matrix scale on random Hermitian batches, including
+    near-degenerate pairs (where the guard keeps the seeds)."""
+    import numpy as np
+    from mach3_tpu.osc.kernels import herm_eigvals, newton_refined_eigvals
+
+    rng = np.random.default_rng(42)
+    a = rng.normal(size=(500, 3, 3)) + 1j * rng.normal(size=(500, 3, 3))
+    h = (a + np.conj(np.swapaxes(a, -1, -2))) / 2
+    # fold in near-degenerate cases: pairs separated by 1e-9
+    for i in range(20):
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)) + 1j * rng.normal(size=(3, 3)))
+        lam = np.diag([1.0, 1.0 + 1e-9, 2.0])
+        h[i] = q @ lam @ np.conj(q.T)
+    hr64 = jnp.asarray(np.real(h))
+    hi64 = jnp.asarray(np.imag(h))
+    seeds = herm_eigvals(hr64.astype(jnp.float32), hi64.astype(jnp.float32))
+    lam = np.asarray(newton_refined_eigvals(seeds, hr64, hi64, jnp.float64))
+    expected = np.linalg.eigvalsh(h)
+    scale = np.abs(expected).max(axis=-1, keepdims=True)
+    err = np.abs(lam - expected) / scale
+    # random (well-separated) part: full f64 accuracy
+    assert err[20:].max() < 1e-12, err[20:].max()
+    # near-degenerate pairs: bounded by the sqrt(eps64) deflated-quadratic
+    # conditioning floor (same as the f64 Cardano arccos conditioning)
+    assert err[:20].max() < 1e-7, err[:20].max()
+
+
+def test_mixed_precision_eigensystem_uses_refinement():
+    """The production mixed-precision path (f32 matrices, f64 phases) produces
+    f64-accurate eigenvalues — the layered/beam phase precision contract."""
+    import numpy as np
+    from mach3_tpu.osc.kernels import herm_eigensystem
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(64, 3, 3)) + 1j * rng.normal(size=(64, 3, 3))
+    h = (a + np.conj(np.swapaxes(a, -1, -2))) / 2
+    hr64, hi64 = jnp.asarray(np.real(h)), jnp.asarray(np.imag(h))
+    eig = herm_eigensystem(
+        hr64.astype(jnp.float32), hi64.astype(jnp.float32),
+        phase_dtype=jnp.float64, h_phase=(hr64, hi64),
+    )
+    expected = np.linalg.eigvalsh(h)
+    scale = np.abs(expected).max()
+    assert np.abs(np.asarray(eig["lam_p"]) - expected).max() / scale < 1e-12
