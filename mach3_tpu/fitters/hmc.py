@@ -118,6 +118,16 @@ def _bounds_logp(model: FitModel, theta: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(bad, -jnp.inf, 0.0)
 
 
+def _bounds_logp_batch(model: FitModel, thetas: jnp.ndarray) -> jnp.ndarray:
+    """[C, P] -> [C]: -inf for chains outside the hard bounds."""
+    flat = model._flat()
+    bad = jnp.any(
+        (thetas < flat.low_bound[None, :]) | (thetas > flat.up_bound[None, :]),
+        axis=1,
+    )
+    return jnp.where(bad, -jnp.inf, 0.0)
+
+
 class HMC:
     def __init__(self, model: FitModel, config: HMCConfig, init_theta: np.ndarray, seed: int = 0):
         self.model = model
@@ -125,12 +135,15 @@ class HMC:
 
         # All closures take the model as an explicit argument so the jitted
         # chunk can pass it as a traced pytree (tables as buffers, not HLO
-        # constants; see mcmc.make_step_fn_args).
-        def logp_fn(mdl, theta):
-            return mdl.log_posterior(theta) + _bounds_logp(mdl, theta)
-
-        def grad_fn(mdl, t):
-            return jax.grad(lambda tt: mdl.log_posterior(tt))(t)
+        # constants; see mcmc.make_step_fn_args). Everything rides the
+        # CHAIN-BATCHED log_posterior_batch — shared osc grids across samples,
+        # whole-vector prior, batched XLA reweight — instead of
+        # vmap(log_posterior), which re-derived each sample's osc grids per
+        # chain in forward AND backward passes.
+        def logp_batch(mdl, thetas):  # [C, P] -> [C]
+            return mdl.log_posterior_batch(thetas) + _bounds_logp_batch(
+                mdl, thetas
+            )
 
         # Mass matrix: diagonal, from the prior covariance (whitens scales).
         if config.mass_from_prior:
@@ -144,7 +157,9 @@ class HMC:
         self.minv = minv
 
         def grad_batch(mdl, theta):  # [C, P] -> [C, P]
-            return jax.vmap(lambda t: grad_fn(mdl, t))(theta)
+            # Chains are independent, so grad of the SUM is the per-chain
+            # gradient — one backward pass over the batched program.
+            return jax.grad(lambda t: jnp.sum(mdl.log_posterior_batch(t)))(theta)
 
         def masked_leapfrog(mdl, theta, p, eps, n_active, minv_t, n_max):
             """Velocity-Verlet over the chain batch with per-chain active
@@ -201,7 +216,7 @@ class HMC:
             theta_new, p_new = masked_leapfrog(
                 mdl, state.theta, p0, eps, n_active, minv_t, n_max
             )
-            logp_new = jax.vmap(lambda t: logp_fn(mdl, t))(theta_new)
+            logp_new = logp_batch(mdl, theta_new)
             ke_new = 0.5 * jnp.sum(minv_t[None, :] * p_new * p_new, axis=1)
             log_ratio = (logp_new - ke_new) - (state.logp - ke0)
             log_ratio = jnp.minimum(0.0, log_ratio)
@@ -347,9 +362,7 @@ class HMC:
         self._run_chunk = jax.jit(run_chunk, static_argnums=2)
 
         theta0 = jnp.asarray(init_theta, ATYPE)
-        logp0 = jax.jit(
-            lambda m, t: jax.vmap(lambda tt: logp_fn(m, tt))(t)
-        )(model, theta0)
+        logp0 = jax.jit(logp_batch)(model, theta0)
         self.state = HMCState(
             theta=theta0,
             logp=logp0,

@@ -149,9 +149,13 @@ class FitModel:
         return jnp.sum(self.prior_nll_breakdown(theta))
 
     def sample_nll(self, theta: jnp.ndarray) -> jnp.ndarray:
+        """Sum of sample -logLs at one θ, sharing oscillation grids across
+        samples with equal signatures (``OscillationHandler.cpp:18-35``) —
+        the single-point path for the minimiser (``LikelihoodFit::CalcChi2``)."""
+        tables = self._shared_osc_tables_single(theta)
         total = jnp.zeros((), ATYPE)
-        for s in self.samples:
-            total = total + s.log_likelihood(theta)
+        for i, s in enumerate(self.samples):
+            total = total + s.log_likelihood(theta, osc_grids=tables[i])
         return total
 
     def sample_nll_breakdown(self, theta: jnp.ndarray) -> jnp.ndarray:
@@ -256,6 +260,21 @@ class FitModel:
             tables[i] = cache[g]
         return tables
 
+    def _shared_osc_tables_single(self, theta: jnp.ndarray) -> list:
+        """Unbatched form of :meth:`_shared_osc_tables` (one θ, no vmap)."""
+        groups = self.osc_groups
+        if groups is None:
+            groups = self._compute_osc_groups(self.samples)
+        tables: list = [None] * len(self.samples)
+        cache: dict = {}
+        for i, g in enumerate(groups):
+            if g < 0:
+                continue
+            if g not in cache:
+                cache[g] = self.samples[g].osc_prob_grids(theta)
+            tables[i] = cache[g]
+        return tables
+
     # Convenience for HMC/NUTS: differentiable log-density (no sentinel).
     def log_posterior(self, theta: jnp.ndarray) -> jnp.ndarray:
         total = jnp.zeros((), ATYPE)
@@ -264,6 +283,33 @@ class FitModel:
             d = jnp.where(prior.flat_prior, 0.0, block - prior.prefit)
             total = total - 0.5 * d @ (prior.inv_cov @ d)
         return total - self.sample_nll(theta)
+
+    def log_posterior_batch(self, thetas: jnp.ndarray) -> jnp.ndarray:
+        """[C, NP] -> [C] differentiable log-density — the gradient-sampler
+        (HMC/MALA/ChEES/L-BFGS) analogue of :meth:`total_nll_batch`.
+
+        Semantics identical to ``vmap(log_posterior)`` but built from the
+        batched machinery: oscillation grids are computed once per unique
+        signature and shared across samples (``OscillationHandler.cpp:18-35``),
+        the prior is one whole-vector quadratic form on the block-diagonal
+        flattened model, and each sample's reweight runs as a chain-batched
+        XLA program (fused Pallas kernels are NOT differentiable, so the
+        forward intentionally routes through the pure-XLA path;
+        :meth:`SampleModel.log_likelihood_batch_xla`). No out-of-bounds
+        sentinel — hard bounds are the caller's job (HMC applies them as a
+        -inf mask outside the gradient)."""
+        flat = self._flat()
+        th = thetas.astype(ATYPE)
+        d = jnp.where(flat.flat_prior[None, :], 0.0, th - flat.prefit[None, :])
+        prior = 0.5 * jnp.sum(d * (d @ flat.inv_cov.T), axis=1)  # [C]
+        total = -prior
+        if self.samples:
+            osc_tables = self._shared_osc_tables(thetas)
+            for i, s in enumerate(self.samples):
+                total = total - s.log_likelihood_batch_xla(
+                    thetas, osc_grids_batch=osc_tables[i]
+                )
+        return total
 
     # ------------------------------------------------------------- numpy
     def parameter_names(self, parameter_sets: Sequence[ParameterSet]) -> list[str]:

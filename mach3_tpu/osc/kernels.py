@@ -102,7 +102,22 @@ def herm_eigvals(hr: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
     p = jnp.sqrt(jnp.maximum(p2, 1e-300))
     det = herm_det(dr, hi)
     r = det / (2.0 * p * p * p)
-    phi = jnp.arccos(jnp.clip(r, -1.0, 1.0))
+    # AD-safe arccos: at |r| >= 1 (degenerate eigenvalues) the composition
+    # arccos'(clip(r)) * clip'(r) is (-inf) * 0 = NaN under jax.grad — which
+    # poisons every gradient sampler (HMC/MALA/ChEES ride grad of this).
+    # Where-select instead: interior points get the exact arccos and its
+    # derivative; boundary points get the exact limit value (0 or pi) with a
+    # zero one-sided derivative (correct for the symmetric functions built
+    # downstream). The band only triggers where r's own rounding error
+    # already exceeds the |r|-to-1 gap.
+    tiny = 4e-7 if hr.dtype == jnp.float32 else 1e-13
+    r_c = jnp.clip(r, -1.0, 1.0)
+    interior = jnp.abs(r_c) < 1.0 - tiny
+    phi = jnp.where(
+        interior,
+        jnp.arccos(jnp.where(interior, r_c, 0.0)),
+        jnp.where(r_c > 0.0, 0.0, jnp.pi),
+    )
     k = jnp.arange(3, dtype=hr.dtype)
     ang = (phi[..., None] + 2.0 * jnp.pi * k) / 3.0
     return q[..., None] + 2.0 * p[..., None] * jnp.cos(ang)
@@ -160,7 +175,12 @@ def newton_refined_eigvals(
     s = tr - lone
     q = c1 - lone * s
     half = 0.5 * s
-    r = jnp.sqrt(jnp.maximum(half * half - q, 0.0))
+    # AD-safe sqrt: at disc <= 0 (exactly degenerate pair) sqrt'(0) = inf
+    # would NaN the gradient; select a zero derivative there instead (the
+    # scale-relative floor keeps the guard off any resolvable separation).
+    disc = half * half - q
+    pos = disc > 1e-30 * s2[..., 0]
+    r = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
     out = jnp.stack(
         [
             jnp.where(pair_low, half - r, lone),

@@ -499,6 +499,22 @@ class SampleModel:
         per_bin = stat_fn(self.data[None, :], mc.astype(ATYPE), w2.astype(ATYPE))
         return jnp.sum(per_bin, axis=1)
 
+    def log_likelihood_batch_xla(
+        self, thetas: jnp.ndarray, osc_grids_batch: tuple | None = None
+    ) -> jnp.ndarray:
+        """[C, NP] -> [C] -logL via the pure-XLA (non-Pallas) batched path.
+
+        The differentiable twin of :meth:`log_likelihood_batch`: identical
+        math, but the spline product + histogram run as vmapped XLA ops that
+        ``jax.grad`` can reverse (``pallas_call`` has no VJP). Gradient
+        samplers (HMC/MALA/ChEES) and the minimiser ride this."""
+        oc = (None,) if osc_grids_batch is None else (osc_grids_batch,)
+        in_axes = (0, None if osc_grids_batch is None else 0)
+        mc, w2 = jax.vmap(self.reweight, in_axes=in_axes)(thetas, *oc)
+        stat_fn = get_test_stat_fn(self.test_statistic)
+        per_bin = stat_fn(self.data[None, :], mc.astype(ATYPE), w2.astype(ATYPE))
+        return jnp.sum(per_bin, axis=1)
+
     def osc_prob_grids(self, params: jnp.ndarray) -> tuple | None:
         """This sample's raw probability grids (None without oscillation)."""
         if self.osc is None:

@@ -41,10 +41,29 @@ class TestStatistic(enum.Enum):
     GAUSSIAN = "Gaussian"
 
 
+def _div_floor(num: jnp.ndarray, den: jnp.ndarray, floor: float = 1e-300) -> jnp.ndarray:
+    """``num / max(den, floor)`` made AD-safe.
+
+    The naive composition NaNs under ``jax.grad`` at ``den == 0``: the max
+    picks the constant floor (derivative 0) while ``d(num/x)/dx = -num/x²``
+    overflows to -inf at x = 1e-300, and (-inf) * 0 = NaN — which poisons the
+    whole backward pass of every gradient sampler on any empty histogram bin.
+    Where-SELECTING the branch keeps values identical and gives the floored
+    branch an exactly-zero den-derivative (the correct one-sided limit)."""
+    ok = den > floor
+    return jnp.where(ok, num / jnp.where(ok, den, 1.0), num / floor)
+
+
+def _safe_sqrt(x: jnp.ndarray, floor: float = 1e-300) -> jnp.ndarray:
+    """sqrt with a zero derivative at x <= floor (sqrt'(0) = inf under AD)."""
+    ok = x > floor
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, x, 1.0)), 0.0)
+
+
 def _safe_log_ratio(data: jnp.ndarray, mc: jnp.ndarray) -> jnp.ndarray:
     """data * log(data/mc), with the data==0 limit -> 0 and mc guarded."""
     tiny = jnp.asarray(1e-300, ATYPE)
-    ratio = jnp.maximum(data, tiny) / jnp.maximum(mc, tiny)
+    ratio = _div_floor(jnp.maximum(data, tiny), mc)
     return jnp.where(data > 0, data * jnp.log(ratio), 0.0)
 
 
@@ -86,17 +105,18 @@ def barlow_beeston_llh(data: jnp.ndarray, mc: jnp.ndarray, w2: jnp.ndarray) -> j
     w2 = jnp.asarray(w2, ATYPE)
 
     newmc, zero_mask = _low_mc_newmc(data, mc)
-    safe_newmc = jnp.maximum(newmc, 1e-300)
-    frac2 = w2 / (safe_newmc * safe_newmc)  # fractional^2
+    frac2 = _div_floor(w2, newmc * newmc)  # fractional^2
     temp = newmc * frac2 - 1.0
     temp2 = temp * temp + 4.0 * data * frac2
-    beta = 0.5 * (-temp + jnp.sqrt(jnp.maximum(temp2, 0.0)))
+    beta = 0.5 * (-temp + _safe_sqrt(temp2))
 
     scaled = newmc * beta
     stat_data = scaled - data + _safe_log_ratio(data, scaled)
     stat = jnp.where(data > 0, stat_data, mc * beta)
 
-    penalty = jnp.where(frac2 > 0, (beta - 1.0) ** 2 / (2.0 * jnp.maximum(frac2, 1e-300)), 0.0)
+    penalty = jnp.where(
+        frac2 > 0, _div_floor((beta - 1.0) ** 2, 2.0 * frac2), 0.0
+    )
     return jnp.where(zero_mask, 0.0, stat + penalty)
 
 
@@ -109,9 +129,8 @@ def dembinski_abdelmotteleb_llh(
     w2 = jnp.asarray(w2, ATYPE)
 
     newmc, zero_mask = _low_mc_newmc(data, mc)
-    safe_w2 = jnp.maximum(w2, 1e-300)
-    k = newmc * newmc / safe_w2  # effective count
-    beta = (data + k) / jnp.maximum(newmc + k, 1e-300)
+    k = _div_floor(newmc * newmc, w2)  # effective count
+    beta = _div_floor(data + k, newmc + k)
     scaled = newmc * beta
     # k*beta - k + k*log(k/(k*beta)) == k*(beta - 1 - log(beta))
     penalty = k * (beta - 1.0 - jnp.log(jnp.maximum(beta, 1e-300)))
@@ -128,8 +147,7 @@ def icecube_llh(data: jnp.ndarray, mc: jnp.ndarray, w2: jnp.ndarray) -> jnp.ndar
     w2 = jnp.asarray(w2, ATYPE)
     low = jnp.asarray(LOW_MC_BOUND, ATYPE)
 
-    safe_w2 = jnp.maximum(w2, 1e-300)
-    b = mc / safe_w2
+    b = _div_floor(mc, w2)
     a = mc * b + 1.0
     safe_b = jnp.maximum(b, 1e-300)
     stat = -(
@@ -154,7 +172,7 @@ def pearson_llh(data: jnp.ndarray, mc: jnp.ndarray) -> jnp.ndarray:
     mc = jnp.asarray(mc, ATYPE)
     low = jnp.asarray(LOW_MC_BOUND, ATYPE)
 
-    general = (data - mc) ** 2 / (2.0 * jnp.maximum(mc, 1e-300))
+    general = _div_floor((data - mc) ** 2, 2.0 * mc)
     at_bound = (data - low) ** 2 / (2.0 * low)
     low_mc = jnp.where(data > low, at_bound, jnp.where(data >= mc, 0.0, general))
     return jnp.where(data == 0, mc / 2.0, jnp.where(mc < low, low_mc, general))

@@ -176,3 +176,24 @@ def test_get_test_stat_fn_dispatch():
     assert float(fn(data, mc, w2)[0]) == pytest.approx(
         barlow_beeston_oracle(4.0, 5.0, 0.3), rel=1e-9
     )
+
+
+def test_gradients_finite_at_edge_cases():
+    """Every statistic must have finite (mc, w2) gradients at empty-MC /
+    empty-data / zero-w2 bins: gradient samplers (HMC/MALA/ChEES) backprop
+    through the per-bin stat, and one NaN cotangent in one bin poisons the
+    whole step (the max+divide composition used to yield (-inf)*0 = NaN)."""
+    import jax
+    import jax.numpy as jnp
+
+    data = jnp.asarray([0.0, 5.0, 0.0, 5.0, 3.0, 1e-6, 0.0])
+    mc = jnp.asarray([0.0, 0.0, 4.0, 4.0, 1e-7, 1e-7, 1e-7])
+    w2 = jnp.asarray([0.0, 0.0, 0.0, 0.4, 0.0, 1e-14, 1e-14])
+    for stat in ts.TestStatistic:
+        fn = ts.get_test_stat_fn(stat)
+        val, (g_mc, g_w2) = jax.value_and_grad(
+            lambda m, w: jnp.sum(fn(data, m, w)), argnums=(0, 1)
+        )(mc, w2)
+        assert np.isfinite(float(val)), stat
+        assert np.all(np.isfinite(np.asarray(g_mc))), (stat, g_mc)
+        assert np.all(np.isfinite(np.asarray(g_w2))), (stat, g_w2)

@@ -81,6 +81,38 @@ def test_gradient_flows_through_posterior(toy):
     assert np.any(g != 0)
 
 
+def test_log_posterior_batch_matches_vmap(toy):
+    """The batched gradient path (shared osc grids, whole-vector prior,
+    batched XLA reweight) must agree with vmap of the scalar log_posterior —
+    value AND gradient (HMC/MALA/ChEES all ride log_posterior_batch)."""
+    theta0 = np.asarray(toy.model.prefit_vector())
+    errs = np.concatenate([np.asarray(ps.errors) for ps in (toy.xsec, toy.osc)])
+    lo = np.concatenate([np.asarray(p.low_bound) for p in toy.model.priors])
+    hi = np.concatenate([np.asarray(p.up_bound) for p in toy.model.priors])
+    rng = np.random.default_rng(5)
+    thetas = np.tile(theta0, (6, 1)) + 0.3 * errs * rng.normal(
+        size=(6, len(theta0))
+    )
+    # stay inside the hard bounds: the differentiable density has no OOB
+    # sentinel, and e.g. sin^2(th13) < 0 is NaN territory by construction
+    thetas = jnp.asarray(np.clip(thetas, lo + 1e-9, hi - 1e-9))
+    batched = np.asarray(jax.jit(toy.model.log_posterior_batch)(thetas))
+    looped = np.asarray(jax.jit(jax.vmap(toy.model.log_posterior))(thetas))
+    np.testing.assert_allclose(batched, looped, rtol=1e-10)
+    g_b = np.asarray(
+        jax.jit(jax.grad(lambda t: jnp.sum(toy.model.log_posterior_batch(t))))(
+            thetas
+        )
+    )
+    g_l = np.asarray(
+        jax.jit(jax.vmap(jax.grad(toy.model.log_posterior)))(thetas)
+    )
+    assert np.all(np.isfinite(g_b))
+    # f32 spline/osc weights: reduction order differs between the two
+    # programs, so agreement is f32-epsilon-level, not bitwise
+    np.testing.assert_allclose(g_b, g_l, rtol=2e-5, atol=1e-4)
+
+
 def test_llh_breakdown_matches_total(toy):
     theta = np.asarray(toy.model.prefit_vector()).copy()
     theta[3] = 1.4
