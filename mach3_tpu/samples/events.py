@@ -49,6 +49,33 @@ class EventData:
         return len(self.mode)
 
 
+def match_event_mask(
+    events: EventData, meta: ParamMeta, sample_name: str
+) -> np.ndarray:
+    """[E] bool mask of the events a parameter applies to.
+
+    The matching rules of ``CalcNormsBins`` (``SampleHandlerFD.cpp:667-747``),
+    shared by norm and weight-valued functional parameters: empty selection
+    lists match everything; kinematic cuts test the *nominal* kinematics."""
+    mask = np.ones(events.n_events, dtype=bool)
+    if meta.modes:
+        mask &= np.isin(events.mode, meta.modes)
+    if meta.pdgs:
+        mask &= np.isin(events.pdg, meta.pdgs)
+    if meta.preosc_pdgs:
+        mask &= np.isin(events.preosc_pdg, meta.preosc_pdgs)
+    if meta.targets:
+        mask &= np.isin(events.target, meta.targets)
+    for cut in meta.kinematic_cuts:
+        if cut.variable not in events.kinematics:
+            raise ConfigError(
+                f"Kinematic cut variable '{cut.variable}' unknown to sample {sample_name}"
+            )
+        v = events.kinematics[cut.variable]
+        mask &= (v >= cut.low) & (v < cut.high)
+    return mask
+
+
 def match_norm_params(
     events: EventData,
     metas: Sequence[tuple[ParamMeta, int]],
@@ -66,23 +93,7 @@ def match_norm_params(
     for meta, gidx in metas:
         if not meta.applies_to_sample(sample_name):
             continue
-        mask = np.ones(e, dtype=bool)
-        if meta.modes:
-            mask &= np.isin(events.mode, meta.modes)
-        if meta.pdgs:
-            mask &= np.isin(events.pdg, meta.pdgs)
-        if meta.preosc_pdgs:
-            mask &= np.isin(events.preosc_pdg, meta.preosc_pdgs)
-        if meta.targets:
-            mask &= np.isin(events.target, meta.targets)
-        for cut in meta.kinematic_cuts:
-            if cut.variable not in events.kinematics:
-                raise ConfigError(
-                    f"Kinematic cut variable '{cut.variable}' unknown to sample {sample_name}"
-                )
-            v = events.kinematics[cut.variable]
-            mask &= (v >= cut.low) & (v < cut.high)
-        masks.append(mask)
+        masks.append(match_event_mask(events, meta, sample_name))
         gidxs.append(gidx)
     pad = -1  # replaced by the unit slot downstream
     if not masks:
@@ -275,6 +286,7 @@ def build_sample_model(
     tf1_table=None,
     osc: OscConfig | None = None,
     shifts: Sequence[ShiftSpec] = (),
+    weight_fns: Sequence = (),
     data: np.ndarray | None = None,
     test_statistic: TestStatistic = TestStatistic.BARLOW_BEESTON,
     use_pallas: bool | str = "auto",
@@ -397,6 +409,7 @@ def build_sample_model(
         tf1_table=tf1_table,
         osc=osc,
         shifts=tuple(shifts),
+        weight_fns=tuple(weight_fns),
         test_statistic=test_statistic,
         use_pallas=route.use_pallas,
         kernel_route=route,

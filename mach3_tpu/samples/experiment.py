@@ -78,6 +78,37 @@ def register_shift(name: str, fn: Callable) -> None:
     _SHIFT_REGISTRY[name] = fn
 
 
+def _res_scale_weight(v, x, kin, true_var=0, sigma_frac=0.1):
+    """Resolution-scale weight: the ratio of smearing kernels
+    N(x; x_true, (1+v)·σ) / N(x; x_true, σ) with σ = sigma_frac · x_true.
+    Scales the detector resolution by (1+v) WITHOUT moving events — the
+    weight-valued form of a resolution systematic (routine in real T2K/DUNE
+    configs; the reference implements these as ``FuncParFuncType`` weight
+    callbacks, ``SampleHandlerFD.cpp:465-564``)."""
+    xt = kin[true_var]
+    s = sigma_frac * jnp.maximum(xt, 1e-6)
+    z = (x - xt) / s
+    r = 1.0 + v
+    return jnp.exp(0.5 * z * z * (1.0 - 1.0 / (r * r))) / r
+
+
+#: Weight-valued functional parameters (the other half of the reference's
+#: ``FuncParFuncType`` callbacks): pure ``(value, x, kin, **args) -> w [E]``.
+#: ``x`` is the YAML-selected kinematic row; Args values naming a kinematic
+#: variable are resolved to row indices at build time.
+_WEIGHT_REGISTRY: dict[str, Callable] = {
+    "linear_weight": lambda v, x, kin: 1.0 + v * x,
+    "scale_weight": lambda v, x, kin: (1.0 + v) * jnp.ones_like(x),
+    "res_scale_weight": _res_scale_weight,
+}
+
+
+def register_weight_fn(name: str, fn: Callable) -> None:
+    """Register a named weight-valued functional response for experiment
+    YAMLs: ``fn(value, x [E], kin [V, E], **args) -> weight [E]``."""
+    _WEIGHT_REGISTRY[name] = fn
+
+
 @dataclasses.dataclass
 class Experiment:
     model: FitModel
@@ -282,6 +313,41 @@ def build_experiment(cfg: Config, use_pallas: bool | str = "auto") -> Experiment
                 )
             )
 
+        weight_fns = []
+        for wf in scfg.get("WeightFunctions", []) or []:
+            wf = Config(wf)
+            fn_name = str(wf.get("Function"))
+            if fn_name not in _WEIGHT_REGISTRY:
+                raise ConfigError(
+                    f"Unknown weight function '{fn_name}' "
+                    f"(registered: {sorted(_WEIGHT_REGISTRY)})"
+                )
+            base_fn = _WEIGHT_REGISTRY[fn_name]
+            var_row = var_order.index(str(wf.get("Var")))
+            wargs = {
+                str(k): (var_order.index(v) if isinstance(v, str) and v in var_order else v)
+                for k, v in (wf.get("Args", {}) or {}).items()
+            }
+            pname = str(wf.get("Parameter"))
+            meta = next(
+                (m for ps in param_sets for m in ps.meta if m.name == pname), None
+            )
+            if meta is None:
+                raise ConfigError(f"WeightFunctions: unknown parameter '{pname}'")
+            from .events import match_event_mask
+            from .sample import WeightSpec
+
+            mask = match_event_mask(events, meta, name)
+            weight_fns.append(
+                WeightSpec(
+                    fn=lambda v, kin, _f=base_fn, _r=var_row, _a=wargs: _f(
+                        v, kin[_r], kin, **_a
+                    ),
+                    param_index=gindex[pname],
+                    mask=jnp.asarray(mask),
+                )
+            )
+
         bcfg = scfg.sub("Binning")
         if bcfg.has("NonUniformBins"):
             bin_vars = [str(v) for v in bcfg.get("Vars")]
@@ -297,6 +363,7 @@ def build_experiment(cfg: Config, use_pallas: bool | str = "auto") -> Experiment
                 tf1_table=tf1_table,
                 osc=osc,
                 shifts=shifts,
+                weight_fns=weight_fns,
                 test_statistic=TestStatistic(scfg.get("TestStatistic", "BarlowBeeston")),
                 use_pallas=use_pallas,
             )
@@ -318,6 +385,7 @@ def build_experiment(cfg: Config, use_pallas: bool | str = "auto") -> Experiment
                 tf1_table=tf1_table,
                 osc=osc,
                 shifts=shifts,
+                weight_fns=weight_fns,
                 test_statistic=TestStatistic(scfg.get("TestStatistic", "BarlowBeeston")),
                 use_pallas=use_pallas,
             )

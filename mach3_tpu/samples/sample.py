@@ -55,6 +55,28 @@ class ShiftSpec:
 
 
 @struct.dataclass
+class WeightSpec:
+    """One weight-valued functional parameter.
+
+    The reference's ``FuncParFuncType`` callbacks are arbitrary per-event
+    functions that either shift kinematics OR compute weights directly,
+    matched to events by mode/PDG/target/kinematic bounds like norms
+    (``Samples/SampleHandlerFD.cpp:465-564``). :class:`ShiftSpec` covers the
+    kinematic-shift half; this covers the weight half: a registered pure
+    function ``fn(value, kin [V, E]) -> w [E]`` whose result multiplies the
+    event weight product on the matched events (``mask``) only. Applied on
+    the XLA side of the base weight, so the fused kernels are untouched.
+    ``kin`` is the NOMINAL kinematics matrix (weight responses see unshifted
+    values, like the reference's callbacks which run before the fill)."""
+
+    fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = struct.field(
+        pytree_node=False
+    )
+    param_index: int = struct.field(pytree_node=False)
+    mask: jnp.ndarray  # [E] bool — events this parameter applies to
+
+
+@struct.dataclass
 class OscConfig:
     """Per-sample oscillation setup (beam / constant-density case).
 
@@ -243,6 +265,8 @@ class SampleModel:
     tf1_table: TF1Table | None = None
     osc: OscConfig | None = None
     shifts: tuple[ShiftSpec, ...] = struct.field(pytree_node=False, default=())
+    # Weight-valued functional parameters (masks are pytree leaves).
+    weight_fns: tuple = ()
     test_statistic: TestStatistic = struct.field(
         pytree_node=False, default=TestStatistic.BARLOW_BEESTON
     )
@@ -333,6 +357,18 @@ class SampleModel:
         # NC events do not oscillate: unit weight (``SampleHandlerFD.cpp:1127-1133``).
         return jnp.where(o.nc_mask, jnp.ones((), FTYPE), w)
 
+    def _func_weights(self, params: jnp.ndarray) -> jnp.ndarray | None:
+        """Product of weight-valued functional responses on matched events
+        (None when the sample has none). See :class:`WeightSpec`."""
+        if not self.weight_fns:
+            return None
+        w = jnp.ones((self.n_events,), FTYPE)
+        one = jnp.ones((), FTYPE)
+        for ws in self.weight_fns:
+            wf = ws.fn(params[ws.param_index], self.kin).astype(FTYPE)
+            w = w * jnp.where(ws.mask, wf, one)
+        return w
+
     def _shifted_kinematics(self, params: jnp.ndarray) -> jnp.ndarray:
         kin = self.kin
         for s in self.shifts:
@@ -355,6 +391,9 @@ class SampleModel:
         )
         if self.tf1_table is not None:
             w = w * self.tf1_table.eval(params)
+        fw = self._func_weights(params)
+        if fw is not None:
+            w = w * fw
         if self.static_bins is not None:
             return w, self.static_bins
         kin = self._shifted_kinematics(params)
@@ -412,6 +451,9 @@ class SampleModel:
                 w = w * self._norm_weights(t)
             if self.tf1_table is not None:
                 w = w * self.tf1_table.eval(t)
+            fw = self._func_weights(t)
+            if fw is not None:
+                w = w * fw
             return w
 
         base_w = jax.vmap(_base, in_axes=in_axes)(thetas, *oc)
