@@ -39,8 +39,15 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     setup_platform(args)
 
+    import os
+
     from ..core.logging import get_logger
-    from ..diagnostics.chain_io import load_checkpoint, save_chain, save_checkpoint
+    from ..diagnostics.chain_io import (
+        load_chain,
+        load_checkpoint,
+        save_chain,
+        save_checkpoint,
+    )
     from ..fitters.factory import make_fitter, manager_from_args
     from ..tutorial.toy import build_toy
 
@@ -67,23 +74,70 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 2
     fitter = make_fitter(cfg, model, seed=args.seed)
+    n_steps = int(cfg.get("General.MCMC.NSteps", 1000))
+    prefix_draws = None
     if args.checkpoint:
         load_checkpoint(args.checkpoint, fitter)
+        # Resume semantics match the reference (StartFromPreviousFit +
+        # stepStart, Fitters/MCMCBase.cpp:149-173): run only the REMAINING
+        # steps, and carry forward the draws already in the output file so
+        # the final chain is the full history.
+        done_steps = int(np.asarray(fitter.state.step))
+        n_steps = max(0, n_steps - done_steps)
+        log.info("Resumed at step %d; %d steps remaining", done_steps, n_steps)
+        if os.path.exists(args.output):
+            prev_draws, prev_meta, _ = load_chain(args.output)
+            if prev_meta.get("names") == names:
+                prefix_draws = prev_draws
 
-    n_steps = int(cfg.get("General.MCMC.NSteps", 1000))
+    prefit = np.concatenate([np.asarray(ps.prefit) for ps in param_sets])
+    prefit_err = np.concatenate([np.asarray(ps.errors) for ps in param_sets])
+    extra_meta: dict = {"prefit": prefit.tolist(), "prefit_err": prefit_err.tolist()}
+
+    def write_out(draws: dict) -> None:
+        """Atomic chain + checkpoint write (the reference's TTree AutoSave,
+        ``Fitters/MCMCBase.cpp:119-121``)."""
+        if hasattr(fitter, "cold_chain"):
+            draws = fitter.cold_chain(draws)
+        if prefix_draws is not None:
+            draws = {
+                k: np.concatenate([prefix_draws[k], v], axis=0)
+                if k in prefix_draws
+                else v
+                for k, v in draws.items()
+            }
+        save_chain(
+            args.output, draws, names, config_yaml=cfg.to_yaml(),
+            extra_meta=extra_meta,
+        )
+        save_checkpoint(args.output + ".ckpt", fitter, names, cfg.to_yaml())
+
+    auto_save = int(cfg.get("General.MCMC.AutoSave", 500)) > 0
+    collected: list[dict] = []
 
     def progress(done, state, chunk):
-        acc = float(np.asarray(state.n_accepted).mean()) / max(int(state.step), 1)
-        rhat = fitter.online_rhat(chunk)
-        log.info(
-            "step %d/%d  acc %.3f  nll %.2f  max-Rhat(chunk) %.3f  %.1f ms/step",
-            done,
-            n_steps,
-            acc,
-            float(chunk["nll"][-1].mean()),
-            float(np.nanmax(rhat)),
-            1e3 * float(chunk["step_time"][0]),
-        )
+        try:
+            acc = float(np.asarray(state.n_accepted).mean()) / max(int(state.step), 1)
+            rhat = fitter.online_rhat(chunk)
+            log.info(
+                "step %d/%d  acc %.3f  nll %.2f  max-Rhat(chunk) %.3f  %.1f ms/step",
+                done,
+                n_steps,
+                acc,
+                float(chunk["nll"][-1].mean()),
+                float(np.nanmax(rhat)),
+                1e3 * float(chunk.get("step_time", [0.0])[0]),
+            )
+        except AttributeError:  # fitters whose state lacks MR2T2's telemetry
+            log.info("step %d/%d", done, n_steps)
+        collected.append(chunk)
+        if auto_save and done < n_steps:  # the final write happens below
+            write_out(
+                {
+                    k: np.concatenate([c[k] for c in collected], axis=0)
+                    for k in collected[0]
+                }
+            )
 
     if args.profile:
         import jax
@@ -93,30 +147,18 @@ def main(argv: list[str] | None = None) -> int:
             fitter.run(n_steps=min(50, n_steps))
         log.info("profiler trace written to %s", args.profile)
 
+    if n_steps <= 0:  # resume of an already-complete fit: nothing to run
+        log.info("Chain already complete; nothing to do")
+        return 0
     out = fitter.run(n_steps=n_steps, callback=progress)
-    extra_meta: dict = {}
-    if hasattr(fitter, "cold_chain"):
+    if hasattr(fitter, "cold_chain") and getattr(fitter.config, "beta_zero", False):
         # Parallel tempering: a beta_zero ladder yields the marginal
         # likelihood for free (diagnostics/evidence.py) — record it before
-        # dropping the hot levels from the chain file.
-        if getattr(fitter.config, "beta_zero", False):
-            logz = fitter.log_evidence(out)
-            extra_meta["log_evidence"] = logz
-            log.info("log evidence (stepping-stone, normalised prior): %.4f", logz)
-        # Only the β=1 level is posterior draws — the hot levels are mixing
-        # machinery and must not enter the chain file.
-        out = fitter.cold_chain(out)
-    prefit = np.concatenate([np.asarray(ps.prefit) for ps in param_sets])
-    prefit_err = np.concatenate([np.asarray(ps.errors) for ps in param_sets])
-    extra_meta.update(prefit=prefit.tolist(), prefit_err=prefit_err.tolist())
-    save_chain(
-        args.output,
-        out,
-        names,
-        config_yaml=cfg.to_yaml(),
-        extra_meta=extra_meta,
-    )
-    save_checkpoint(args.output + ".ckpt", fitter, names, cfg.to_yaml())
+        # write_out drops the hot levels from the chain file.
+        logz = fitter.log_evidence(out)
+        extra_meta["log_evidence"] = logz
+        log.info("log evidence (stepping-stone, normalised prior): %.4f", logz)
+    write_out(out)
     log.info("Wrote %s (+.ckpt)", args.output)
     return 0
 

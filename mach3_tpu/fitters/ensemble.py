@@ -84,7 +84,7 @@ class EnsembleSampler:
         self._key = jax.random.key(seed)
         self._steps_done = 0
 
-    def run(self, n_steps: int | None = None) -> dict[str, np.ndarray]:
+    def run(self, n_steps: int | None = None, callback=None) -> dict[str, np.ndarray]:
         n_steps = n_steps or self.config.n_steps
         outs = []
         done = 0
@@ -93,8 +93,11 @@ class EnsembleSampler:
             self._key, sub = jax.random.split(self._key)
             keys = jax.random.split(sub, n)
             self._state, out = self._run_chunk(self.model, self._state, keys)
-            outs.append({k: np.asarray(v) for k, v in out.items()})
+            host = {k: np.asarray(v) for k, v in out.items()}
+            outs.append(host)
             done += n
+            if callback is not None:
+                callback(done, self._state, host)
         self._steps_done += done
         return {k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
 

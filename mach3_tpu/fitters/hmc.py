@@ -396,15 +396,18 @@ class HMC:
             traj_v=jnp.asarray(0.0, ATYPE),
         )
 
-    def run(self, n_steps: int | None = None) -> dict[str, np.ndarray]:
+    def run(self, n_steps: int | None = None, callback=None) -> dict[str, np.ndarray]:
         n_steps = n_steps or self.config.n_steps
         outs = []
         done = 0
         while done < n_steps:
             n = min(self.config.chunk_size, n_steps - done)
             self.state, out = self._run_chunk(self.model, self.state, n)
-            outs.append({k: np.asarray(v) for k, v in out.items()})
+            host = {k: np.asarray(v) for k, v in out.items()}
+            outs.append(host)
             done += n
+            if callback is not None:
+                callback(done, self.state, host)
         return {k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
 
     @property

@@ -149,3 +149,64 @@ def test_mcmc_parallel_tempering_saves_cold_chains_only(tmp_path):
     assert rc == 0
     draws, meta, _ = load_chain(out)
     assert draws["theta"].shape[1] == 4  # walkers, not 3*4 level-major chains
+
+
+def test_autosave_kill_resume(tmp_path):
+    """Mid-run autosave + crash resume (the reference's TTree AutoSave +
+    StartFromPreviousFit, ``Fitters/MCMCBase.cpp:119-121,149-173``): SIGKILL a
+    fit between autosaves, resume from the checkpoint, and the full chain must
+    be BIT-IDENTICAL to an uninterrupted run with the same seed."""
+    import subprocess
+    import sys
+    import time
+
+    from mach3_tpu.diagnostics.chain_io import load_chain
+
+    argv_base = [
+        "General:MCMC:NChains:6",
+        "General:MCMC:AutoSave:40",
+        "Toy:NEvents:800",
+        "--platform",
+        "cpu",
+        "--seed",
+        "5",
+    ]
+    out_b = str(tmp_path / "b.npz")
+    cmd = (
+        [sys.executable, "-m", "mach3_tpu.cli.mcmc", "General:MCMC:NSteps:100000"]
+        + argv_base
+        + ["-o", out_b]
+    )
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+    )
+    t0 = time.time()
+    try:
+        while time.time() - t0 < 600:
+            if os.path.exists(out_b + ".ckpt"):
+                break
+            assert proc.poll() is None, "fit exited before any autosave"
+            time.sleep(0.2)
+    finally:
+        proc.kill()  # SIGKILL the exact PID we started
+        proc.wait()
+    assert os.path.exists(out_b + ".ckpt"), "no autosave within the window"
+    draws_partial, _, _ = load_chain(out_b)
+    s_done = draws_partial["theta"].shape[0]
+    assert s_done >= 40 and s_done % 40 == 0
+
+    total = s_done + 80
+    argv = [f"General:MCMC:NSteps:{total}"] + argv_base
+    # resume the killed fit to completion
+    rc = cli_mcmc.main(argv + ["-o", out_b, "--checkpoint", out_b + ".ckpt"])
+    assert rc == 0
+    # uninterrupted reference run, same seed
+    out_a = str(tmp_path / "a.npz")
+    rc = cli_mcmc.main(argv + ["-o", out_a])
+    assert rc == 0
+
+    a, _, _ = load_chain(out_a)
+    b, _, _ = load_chain(out_b)
+    assert b["theta"].shape == a["theta"].shape == (total, 6, 16)
+    np.testing.assert_array_equal(a["theta"], b["theta"])
+    np.testing.assert_array_equal(a["nll"], b["nll"])
