@@ -40,12 +40,31 @@ class PredictiveResult:
     # By-mode predictive spectra (SampleSummary's by-mode breakdowns):
     # per sample [T, M+1, B] (last row = unknown/sentinel category).
     spectra_by_mode: list[np.ndarray] | None = None
+    # SampleSummary's full fluctuated-throw battery
+    # (``Fitters/SampleSummary.h:264-321`` branch inventory), per throw [T]:
+    llh_fluctpred_vs_draw: np.ndarray | None = None  # Fluctuated Predictive vs Draw
+    llh_data_vs_fluctdraw: np.ndarray | None = None  # Data vs Fluctuated Draw
+    llh_fluctdata_vs_draw: np.ndarray | None = None  # Fluctuated Data vs Draw
+    llh_fluctdraw_vs_pred: np.ndarray | None = None  # Fluctuated Draw vs Predictive
+    llh_rate_data: np.ndarray | None = None  # rate-only: -logL(total rate)
+    llh_rate_fluct: np.ndarray | None = None
+    # p-values in both fluctuation directions + rate-only
+    p_value_fluct_pred: float | None = None  # P(FluctPred-vs-Draw > Data-vs-Draw)
+    p_value_fluct_data: float | None = None  # P(FluctData-vs-Draw > Data-vs-Draw)
+    p_value_rate: float | None = None  # P(rate(FluctDraw) llh > rate(Data) llh)
 
     def predictive_mean(self, sample: int) -> np.ndarray:
         return self.spectra[sample].mean(axis=0)
 
     def predictive_band(self, sample: int, quantiles=(0.16, 0.84)) -> np.ndarray:
         return np.quantile(self.spectra[sample], quantiles, axis=0)
+
+    def violin(self, sample: int, quantiles: np.ndarray | None = None) -> np.ndarray:
+        """[Q, B] per-bin quantiles of the toy spectra — the reference's
+        violin spectra (``SampleSummary``/``PredictiveThrower`` violins) in
+        array form (each bin's column is the violin body)."""
+        q = np.linspace(0.025, 0.975, 39) if quantiles is None else np.asarray(quantiles)
+        return np.quantile(self.spectra[sample], q, axis=0)
 
 
 def draw_parameter_sets(
@@ -86,6 +105,7 @@ def run_predictive(
     def one_toy(mdl, theta, k):
         spectra = []
         fluct = []
+        w2s = []
         by_mode = []
         llh_data = jnp.zeros((), ATYPE)
         llh_draw = jnp.zeros((), ATYPE)
@@ -113,6 +133,7 @@ def run_predictive(
             lf = jnp.sum(stat(draw, mc.astype(ATYPE), w2.astype(ATYPE)))
             spectra.append(mc)
             fluct.append(draw)
+            w2s.append(w2)
             per_sample_data.append(ld)
             per_sample_draw.append(lf)
             llh_data += ld
@@ -120,6 +141,7 @@ def run_predictive(
         return (
             tuple(spectra),
             tuple(fluct),
+            tuple(w2s),
             llh_data,
             llh_draw,
             jnp.stack(per_sample_data),
@@ -134,6 +156,7 @@ def run_predictive(
     )
     all_spec = [[] for _ in model.samples]
     all_fluct = [[] for _ in model.samples]
+    all_w2 = [[] for _ in model.samples]
     all_by_mode = [[] for _ in model.samples]
     llh_data_parts, llh_draw_parts = [], []
     ps_data_parts, ps_draw_parts = [], []
@@ -141,10 +164,11 @@ def run_predictive(
         block = jnp.asarray(toys_theta[at : at + chunk], ATYPE)
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, block.shape[0])
-        spec, fluct, ld, lf, psd, psf, bym = batched(model, block, keys)
+        spec, fluct, w2s, ld, lf, psd, psf, bym = batched(model, block, keys)
         for i in range(len(model.samples)):
             all_spec[i].append(np.asarray(spec[i]))
             all_fluct[i].append(np.asarray(fluct[i]))
+            all_w2[i].append(np.asarray(w2s[i]))
             if cat_arrays is not None:
                 all_by_mode[i].append(np.asarray(bym[i]))
         llh_data_parts.append(np.asarray(ld))
@@ -169,6 +193,53 @@ def run_predictive(
         + 0.5 * (f == np.asarray(s.data)[None, :]).mean(axis=0)
         for f, s in zip(fluctuated, model.samples)
     ]
+    w2_arrays = [np.concatenate(w) for w in all_w2]
+
+    # ---- SampleSummary fluctuated-throw battery (host-side second pass;
+    # ``Fitters/SampleSummary.h:264-321``). "Predictive" = the mean toy
+    # spectrum; fluctuations are Poisson draws of (Draw, Predictive, Data).
+    npr = np.random.default_rng(seed + 1)
+    l_fluctpred_draw = np.zeros(n_toys)
+    l_data_fluctdraw = np.zeros(n_toys)
+    l_fluctdata_draw = np.zeros(n_toys)
+    l_fluctdraw_pred = np.zeros(n_toys)
+    l_rate_data = np.zeros(n_toys)
+    l_rate_fluct = np.zeros(n_toys)
+    for i, s in enumerate(model.samples):
+        stat = get_test_stat_fn(s.test_statistic)
+        data = np.asarray(s.data)
+        mc_t = spectra[i]  # [T, B]
+        w2_t = w2_arrays[i]
+        fl_t = fluctuated[i]
+        pred = mc_t.mean(axis=0)  # predictive-mean spectrum [B]
+        w2_pred = w2_t.mean(axis=0)
+        fluct_pred = npr.poisson(np.maximum(pred, 0.0)[None, :].repeat(n_toys, 0))
+        fluct_data = npr.poisson(np.maximum(data, 0.0)[None, :].repeat(n_toys, 0))
+        arr = lambda f, d, m, w: np.asarray(
+            jnp.sum(f(jnp.asarray(d, ATYPE), jnp.asarray(m, ATYPE), jnp.asarray(w, ATYPE)), axis=-1)
+        )
+        l_fluctpred_draw += arr(stat, fluct_pred, mc_t, w2_t)
+        l_data_fluctdraw += arr(stat, data[None, :], fl_t, w2_t)
+        l_fluctdata_draw += arr(stat, fluct_data, mc_t, w2_t)
+        l_fluctdraw_pred += arr(stat, fl_t, pred[None, :], w2_pred[None, :])
+        # rate-only comparison (SampleSummary's "using rate only" branches):
+        # Stirling Poisson -logL of the TOTAL event count (the full
+        # normalised form — comparisons mix different observed counts, so
+        # the N-dependent terms must be kept)
+        from ..samples.teststats import poisson_llh
+
+        rate_mc = mc_t.sum(axis=1)
+        rate_fl = fl_t.sum(axis=1)
+        l_rate_data += np.asarray(
+            poisson_llh(jnp.full(n_toys, data.sum()), jnp.asarray(rate_mc))
+        )
+        l_rate_fluct += np.asarray(
+            poisson_llh(jnp.asarray(rate_fl, np.float64), jnp.asarray(rate_mc))
+        )
+    p_fluct_pred = float(np.mean(l_fluctpred_draw > llh_data))
+    p_fluct_data = float(np.mean(l_fluctdata_draw > llh_data))
+    p_rate = float(np.mean(l_rate_fluct > l_rate_data))
+
     return PredictiveResult(
         spectra=spectra,
         fluctuated=fluctuated,
@@ -180,4 +251,13 @@ def run_predictive(
         spectra_by_mode=(
             [np.concatenate(b) for b in all_by_mode] if cat_arrays is not None else None
         ),
+        llh_fluctpred_vs_draw=l_fluctpred_draw,
+        llh_data_vs_fluctdraw=l_data_fluctdraw,
+        llh_fluctdata_vs_draw=l_fluctdata_draw,
+        llh_fluctdraw_vs_pred=l_fluctdraw_pred,
+        llh_rate_data=l_rate_data,
+        llh_rate_fluct=l_rate_fluct,
+        p_value_fluct_pred=p_fluct_pred,
+        p_value_fluct_data=p_fluct_data,
+        p_value_rate=p_rate,
     )

@@ -113,8 +113,15 @@ def xsec_config() -> dict:
     return {"Systematics": systematics}
 
 
-def osc_config_yaml(flip_hierarchy: bool = False) -> dict:
-    """Oscillation-parameter block: sin² parameterisation, PDG-ish priors."""
+def osc_config_yaml(
+    flip_hierarchy: bool = False, entry_overrides: dict | None = None
+) -> dict:
+    """Oscillation-parameter block: sin² parameterisation, PDG-ish priors.
+
+    entry_overrides: per-parameter dict merged over the Systematic entry
+    (e.g. ``{"dm2_31": {"ParameterBounds": [-5e-3, -5e-5], "ParameterValues":
+    {"PreFitValue": -2.46e-3}}}`` restricts the fit to the inverted
+    ordering — the model-comparison setup of an NH-vs-IH evidence run)."""
     entries = [
         ("sin2th12", 0.307, 0.013, [0.0, 1.0], 1.0, False),
         ("sin2th13", 0.0220, 0.0007, [0.0, 1.0], 1.0, False),
@@ -140,6 +147,11 @@ def osc_config_yaml(flip_hierarchy: bool = False) -> dict:
             syst["SpecialProposal"] = {"CircularBounds": [-3.14159265, 3.14159265]}
         if name == "dm2_31" and flip_hierarchy:
             syst["SpecialProposal"] = {"FlipParameter": 0.0}
+        for key, val in ((entry_overrides or {}).get(name, {}) or {}).items():
+            if isinstance(val, dict) and isinstance(syst.get(key), dict):
+                syst[key] = {**syst[key], **val}
+            else:
+                syst[key] = val
         systematics.append({"Systematic": syst})
     return {"Systematics": systematics}
 
@@ -232,10 +244,19 @@ def build_toy(
     flip_hierarchy: bool = False,
     e_grid_size: int = 200,
     use_pallas: bool | str = "auto",
+    baseline: float = BASELINE_KM,
+    density: float = DENSITY,
+    osc_entry_overrides: dict | None = None,
+    asimov_overrides: dict | None = None,
 ) -> ToyExperiment:
+    """asimov_overrides: parameter name -> truth value for the Asimov data
+    (default: prefit). Lets the data sit away from the prior centre, e.g. an
+    off-maximal sin2th23 for octant-degeneracy studies."""
     rng = np.random.default_rng(seed)
     xsec = ParameterSet.from_config(Config(xsec_config()), name="xsec")
-    osc = ParameterSet.from_config(Config(osc_config_yaml(flip_hierarchy)), name="osc")
+    osc = ParameterSet.from_config(
+        Config(osc_config_yaml(flip_hierarchy, osc_entry_overrides)), name="osc"
+    )
     n_xsec = len(xsec)
     n_total = n_xsec + len(osc)
     osc_gidx = list(range(n_xsec, n_xsec + 6))
@@ -294,8 +315,8 @@ def build_toy(
             sub,
             e_grid,
             osc_gidx,
-            baseline=BASELINE_KM,
-            density=DENSITY,
+            baseline=baseline,
+            density=density,
             nc_modes=[MODE_NC],
             # Beam baseline: λL ~ a few rad, f32 phases exact to ~1e-7 rad
             # (validated vs f64 in tests) and free of TPU f64 emulation.
@@ -339,14 +360,62 @@ def build_toy(
         build_device = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         build_device = jax.local_devices()[0]
+    names = [f"xsec_{n}" for n in xsec.names] + [f"osc_{n}" for n in osc.names]
     with jax.default_device(build_device):
-        theta0 = model.prefit_vector()
+        theta_true = np.asarray(model.prefit_vector()).copy()
+        for pname, val in (asimov_overrides or {}).items():
+            theta_true[names.index(pname)] = float(val)
+        theta_true = jnp.asarray(theta_true)
         asimov = [
-            np.asarray(jax.jit(lambda m, t: m.asimov_data(t))(s, theta0))
+            np.asarray(jax.jit(lambda m, t: m.asimov_data(t))(s, theta_true))
             for s in samples
         ]  # sample as a jit ARG: avoids constant-folding the tables
     samples = [s.with_data(a) for s, a in zip(samples, asimov)]
     model = FitModel.build([xsec, osc], samples)
-
-    names = [f"xsec_{n}" for n in xsec.names] + [f"osc_{n}" for n in osc.names]
     return ToyExperiment(xsec=xsec, osc=osc, samples=samples, model=model, names=names)
+
+
+def build_octant_toy(
+    n_events: int = 3000,
+    seed: int = 77,
+    e_grid_size: int = 56,
+    s23_true: float = 0.45,
+    hierarchy: str = "NH",
+    use_pallas: bool | str = "auto",
+) -> ToyExperiment:
+    """Octant-degenerate Asimov toy — the multimodal physics that motivates
+    parallel tempering (``fitters/tempering.py``; the reference needs many
+    independent stuck chains + offline merging for this regime).
+
+    Truth: sin2th23 = ``s23_true`` (off-maximal, lower octant by default)
+    with a FLAT sin2th23 prior, so the posterior is bimodal: the mirror
+    octant ~1 - s23_true survives at slightly higher -logL (disappearance
+    constrains sin^2(2th23); only appearance breaks the octant). DUNE-like
+    baseline/density (1300 km, 2.85 g/cm^3) so matter effects separate the
+    mass orderings for NH-vs-IH evidence runs.
+
+    hierarchy: the FIT model's dm2_31 sign constraint ("NH" or "IH") —
+    the Asimov DATA is always generated at the NH truth (+2.51e-3), so an
+    "IH" fit is the wrong-ordering model of a Bayes-factor comparison.
+    """
+    if hierarchy == "IH":
+        overrides = {
+            "dm2_31": {
+                "ParameterBounds": [-5.0e-3, -5.0e-5],
+                "ParameterValues": {"PreFitValue": -2.46e-3},
+            }
+        }
+    elif hierarchy == "NH":
+        overrides = {"dm2_31": {"ParameterBounds": [5.0e-5, 5.0e-3]}}
+    else:
+        raise ValueError(f"hierarchy must be 'NH' or 'IH', got {hierarchy!r}")
+    return build_toy(
+        n_events=n_events,
+        seed=seed,
+        e_grid_size=e_grid_size,
+        use_pallas=use_pallas,
+        baseline=1300.0,
+        density=2.85,
+        osc_entry_overrides=overrides,
+        asimov_overrides={"osc_sin2th23": s23_true, "osc_dm2_31": 2.51e-3},
+    )

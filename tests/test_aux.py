@@ -358,3 +358,58 @@ def test_style_manager_defaults_and_config(tmp_path):
         assert mpl.rcParams["font.size"] == 13
         assert mpl.rcParams["axes.prop_cycle"].by_key()["color"][0] == "#112233"
     assert mpl.rcParams["font.size"] == before  # restored
+
+
+def test_predictive_fluctuation_battery_calibrated():
+    """SampleSummary's fluctuated-throw battery (``Fitters/SampleSummary.h:
+    264-321``): on Asimov data with posterior-width throws, every direction
+    of the comparison is calibrated (p not extreme) and the per-throw LLH
+    arrays are finite; on badly-scaled data the data-direction p-values react
+    while the fluct-vs-fluct ones stay calibrated."""
+    from mach3_tpu.diagnostics.predictive import run_predictive
+    from mach3_tpu.fitters import FitModel
+    from mach3_tpu.samples.events import EventData, build_sample_model
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    ev = EventData(
+        kinematics={"x": rng.normal(1.0, 0.4, n)},
+        mode=np.zeros(n, np.int32),
+        target=np.full(n, 12, np.int32),
+        pdg=np.full(n, 14, np.int32),
+        preosc_pdg=np.full(n, 14, np.int32),
+        mc_weight=np.full(n, 0.1),
+    )
+    ps = _simple_ps()
+    sm = build_sample_model(
+        "s", ev, var_order=["x"], binning_edges=[np.linspace(0, 2, 11)],
+        binning_vars=["x"], n_total_params=2,
+        norm_idx=np.zeros((n, 1), np.int64),
+    )
+    import jax.numpy as jnp
+
+    sm = sm.with_data(sm.asimov_data(jnp.asarray([1.0, 1.0])))
+    model = FitModel.build([ps], [sm])
+    toys = np.tile(np.array([1.0, 1.0]), (150, 1)) + 0.02 * rng.normal(size=(150, 2))
+    res = run_predictive(model, toys, seed=1)
+    for arr in (
+        res.llh_fluctpred_vs_draw, res.llh_data_vs_fluctdraw,
+        res.llh_fluctdata_vs_draw, res.llh_fluctdraw_vs_pred,
+        res.llh_rate_data, res.llh_rate_fluct,
+    ):
+        assert arr is not None and arr.shape == (150,)
+        assert np.all(np.isfinite(arr))
+    assert 0.1 < res.p_value_fluct_pred <= 1.0
+    assert 0.1 < res.p_value_fluct_data <= 1.0
+    assert 0.05 < res.p_value_rate < 0.95
+    v = res.violin(0)
+    assert v.shape == (39, 10)
+    assert np.all(np.diff(v, axis=0) >= 0)  # quantiles are monotone per bin
+
+    # badly-scaled data: every comparison with Data on one side collapses,
+    # while FluctData-vs-Draw (both sides carry the bad data) stays calibrated
+    sm_bad = sm.with_data(np.asarray(sm.data) * 1.5)
+    res_bad = run_predictive(FitModel.build([ps], [sm_bad]), toys, seed=1)
+    assert res_bad.p_value_rate < 0.05
+    assert res_bad.p_value_fluct_pred < 0.05
+    assert 0.1 < res_bad.p_value_fluct_data <= 1.0
