@@ -161,3 +161,91 @@ def test_spec_builders_cover_model_tree(setup):
         if has_event_dim and not sharded:
             missing.append(key)
     assert not missing, f"event-sized leaves without event sharding: {missing}"
+
+
+@pytest.fixture(scope="module")
+def large_setup():
+    """The 101-parameter reference-scale fixture (reduced event counts for
+    CPU) through prepare_model_for_shard_map: exercises the layouts that
+    matter — log-matmul norm product (norm_onehot is DROPPED, norm_s takes
+    over), param-blocked spline tables, 2-D atmo oscillation grids."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from mach3_tpu.tutorial.large import build_large
+
+    exp = build_large(
+        n_numu=4000, n_nue=1500, n_atmo=3000,
+        e_grid_size=40, atmo_e_grid_size=20, atmo_cosz_grid_size=8,
+    )
+    mesh = make_mesh(4, 2)
+    model = prepare_model_for_shard_map(exp.model, n_event_shards=2)
+    model = shard_fit_model(mesh, model)
+    return mesh, exp, model
+
+
+def test_large_fixture_norm_paths_swap(large_setup):
+    """prepare_model_for_shard_map must drop norm_onehot (its [E*W, NP+1]
+    leading axis cannot split on event boundaries) and leave norm_s — and the
+    two paths must agree BEFORE sharding enters the picture."""
+    _, exp, model = large_setup
+    assert any(s.norm_onehot is not None for s in exp.model.samples)
+    assert all(s.norm_onehot is None for s in model.samples)
+    assert all(
+        s.norm_s is not None or o.norm_onehot is None
+        for s, o in zip(model.samples, exp.model.samples)
+    )
+    theta = exp.model.prefit_vector()
+    for s_orig, s_prep in zip(exp.model.samples, model.samples):
+        w_oh = np.asarray(s_orig._norm_weights(theta))
+        w_s = np.asarray(s_prep.replace(norm_onehot=None)._norm_weights(theta))
+        np.testing.assert_allclose(w_s[: len(w_oh)], w_oh, rtol=2e-5)
+
+
+def test_large_fixture_sharded_nll_parity(large_setup):
+    """NLL parity at the 101-param fixture: the shard_map step's event-axis
+    psum + padded zero-weight events reproduce the unsharded likelihood."""
+    mesh, exp, model = large_setup
+    from jax.sharding import PartitionSpec as P
+
+    from mach3_tpu.distributed.mesh import CHAIN_AXIS, EVENT_AXIS
+    from mach3_tpu.distributed.shard_step import _CHECK_KW, shard_map
+
+    n_chains = 8
+    rng = np.random.default_rng(4)
+    theta0 = np.tile(np.asarray(exp.model.prefit_vector()), (n_chains, 1))
+    theta0 = jnp.asarray(theta0 + 1e-3 * rng.normal(size=theta0.shape))
+    ref = np.asarray(
+        jax.jit(lambda m, t: m.total_nll_batch(t))(exp.model, theta0)
+    )
+
+    mspecs = model_pspecs(model)
+    f = jax.jit(
+        shard_map(
+            lambda m, t: m.total_nll_batch_parts(
+                t, want_parts=False, event_axis=EVENT_AXIS
+            )[0],
+            mesh=mesh,
+            in_specs=(mspecs, P(CHAIN_AXIS, None)),
+            out_specs=P(CHAIN_AXIS),
+            **{_CHECK_KW: False},
+        )
+    )
+    sharded = np.asarray(f(model, theta0))
+    np.testing.assert_allclose(sharded, ref, rtol=1e-6)
+
+
+def test_large_fixture_sharded_steps_run(large_setup):
+    """A few full sharded MCMC steps (pooled adaptation pmean + event psum +
+    per-shard RNG) execute at the 101-param fixture and accept steps."""
+    mesh, exp, model = large_setup
+    cfg = MCMCConfig(
+        n_steps=4, chunk_size=4, adaptive=True, adaption_mode="pooled",
+        adaption_start_update=1, adaption_start_throw=1000,
+    )
+    state = _init_state(model, 8, adaptive_cfg=True)
+    state = chain_state_sharding(mesh, state)
+    run = make_sharded_chunk_runner(mesh, cfg, model, state)
+    state2, out = run(model, state, 4)
+    assert out["theta"].shape[0] == 4
+    assert np.all(np.isfinite(np.asarray(out["nll"])))
+    assert int(np.asarray(state2.step)) == 4
