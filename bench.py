@@ -4,15 +4,24 @@ BASELINE.md north-star metrics as extra fields.
 Prints ONE JSON line whose required keys are {"metric", "value", "unit",
 "vs_baseline"}; additional fields carry:
 
-* spline_reweight_events_per_sec — per-sample fused reweight throughput
-  (events x chains / wall time),
-* ess_per_hour — min-over-params effective samples per hour on the toy fit
-  (all chains pooled),
-* component_ms — per-step component budget at 256 chains (propose /
-  osc grids / reweight+hist / full LLH),
+* adaptive — the PRODUCTION sampler (pooled Haario + Robbins-Monro, the
+  reference's default mode): steps/s, acceptance, and ESS/hour on the toy,
+* spline_reweight_events_per_sec — per-sample fused reweight throughput,
+* ess_per_hour — fixed-proposal ESS/hour (kept for r01/r02 comparability),
+* component_ms — per-step component budget at 256 chains,
 * chains_1024 — throughput point at 1024 chains,
+* parallel_tempering — cold-chain steps/s + swap acceptance on the toy,
 * large_scale — the reference-scale fixture (101 params, 510k events,
-  3 samples, 2,182 bins): steps/s at 64 chains + reweight events/s.
+  3 samples, 2,182 bins): steps/s at 128 chains, reweight events/s, and the
+  ADAPTIVE sampler's ESS/hour at this scale,
+* hmc — gradient samplers: ChEES-HMC toy steps/s + ESS/hour, and the
+  large-fixture gradient-path budget (XLA forward / backward vs the fused
+  Pallas forward),
+* headline_floor — guard against silent throughput regressions (r01 anchor).
+
+Environment knobs: MACH3_BENCH_{LARGE,HMC,PT,ADAPTIVE}=0 skip sections;
+MACH3_BENCH_SMALL=1 shrinks every size for CI shape checks (numbers are then
+meaningless — the driver runs the full sizes on TPU hardware).
 
 vs_baseline: the reference's stated ND-fit target is "<0.1 s/step
 eventually" on CPU for a comparable reweight
@@ -26,6 +35,10 @@ import json
 import os
 import sys
 import time
+
+# r01 headline (chain-steps/s, 256 chains x 100k events, 1 chip) — the floor
+# guard: BENCH_r02 silently regressed 18.7% against this before it was caught.
+R01_HEADLINE = 44_768.0
 
 
 def stage(msg, t0):
@@ -54,6 +67,20 @@ def scan_time(jax, jnp, fn, mdl, *arrs, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
+def _pooled_ess(jax, jnp, np, draws):
+    """Min/median ESS over params, chains pooled. draws [S, C, P]."""
+    from mach3_tpu.diagnostics.autocorr import effective_sample_size
+
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        ess = np.asarray(
+            jax.jit(jax.vmap(effective_sample_size, in_axes=1, out_axes=0))(
+                jnp.asarray(draws)
+            )
+        )  # [C, P]
+    tot = ess.sum(axis=0)
+    return float(tot.min()), float(np.median(tot))
+
+
 def main() -> None:
     # Allow a CPU backend next to the TPU one so build-time work (Asimov data)
     # avoids minutes of remote TPU compilation; the fit itself runs on TPU.
@@ -69,13 +96,20 @@ def main() -> None:
     from mach3_tpu.fitters.mcmc import MR2T2, MCMCConfig
     from mach3_tpu.tutorial.toy import build_toy
 
-    n_events = 100_000
-    n_chains = 256
-    n_steps = 200
+    small = os.environ.get("MACH3_BENCH_SMALL", "0") == "1"
+    n_events = 2_000 if small else 100_000
+    n_chains = 16 if small else 256
+    n_steps = 60 if small else 200
+    e_grid = 40 if small else 200
     extras: dict = {}
 
     t = time.perf_counter()
-    toy = build_toy(n_events=n_events, seed=42, e_grid_size=200, use_pallas=True)
+    # "auto" in small mode: CI shape checks run on CPU where the fused Pallas
+    # route cannot execute; the TPU bench keeps the explicit request.
+    toy = build_toy(
+        n_events=n_events, seed=42, e_grid_size=e_grid,
+        use_pallas="auto" if small else True,
+    )
     t = stage("build_toy", t)
     theta0 = np.asarray(toy.model.prefit_vector())
     rng = np.random.default_rng(0)
@@ -90,30 +124,91 @@ def main() -> None:
     dt = time.perf_counter() - t0
     chain_steps_per_sec = n_steps * n_chains / dt
     t = stage(f"headline run ({chain_steps_per_sec:,.0f} chain-steps/s)", t)
+    if not small:
+        extras["headline_floor"] = {
+            "r01_anchor": R01_HEADLINE,
+            "ratio_vs_r01": round(chain_steps_per_sec / R01_HEADLINE, 3),
+            "regressed": bool(chain_steps_per_sec < 0.9 * R01_HEADLINE),
+        }
 
     # ---- ESS/hour on the toy fit (pooled over chains, min over params)
     try:
-        from mach3_tpu.diagnostics.autocorr import effective_sample_size
-
-        draws = out["theta"]  # [S, C, P]
-        # ESS runs on CPU: it is offline post-processing, and the FFT
-        # autocorrelation does not lower through the remote TPU compile path.
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            ess_per_param = np.asarray(
-                jax.jit(jax.vmap(effective_sample_size, in_axes=1, out_axes=0))(
-                    jnp.asarray(draws)
-                )
-            )  # [C, P] per chain
-        ess_total = ess_per_param.sum(axis=0)  # pooled over chains
+        mn, md = _pooled_ess(jax, jnp, np, out["theta"])
         wall_hours = dt / 3600.0
         extras["ess_per_hour"] = {
-            "min": round(float(ess_total.min() / wall_hours), 1),
-            "median": round(float(np.median(ess_total) / wall_hours), 1),
+            "min": round(mn / wall_hours, 1),
+            "median": round(md / wall_hours, 1),
             "steps_measured": n_steps,
         }
         t = stage("ess", t)
     except Exception as exc:  # pragma: no cover
         extras["ess_per_hour"] = {"error": str(exc)[:200]}
+
+    # ---- PRODUCTION sampler: pooled Haario + Robbins-Monro adaptive MCMC
+    if os.environ.get("MACH3_BENCH_ADAPTIVE", "1") != "0":
+        try:
+            n_ad = 100 if small else 600
+            cfg_ad = MCMCConfig(
+                n_steps=n_ad, chunk_size=50, adaptive=True,
+                adaption_mode="pooled", adaption_start_update=50,
+                adaption_start_throw=200, adaption_update_step=100,
+            )
+            fa = MR2T2(toy.model, cfg_ad, init, seed=2)
+            fa.run(n_steps=max(100, n_ad // 2))  # compile + adaptation warm-up
+            t0 = time.perf_counter()
+            out_a = fa.run(n_steps=n_ad)
+            jax.block_until_ready(fa.state.theta)
+            dt_a = time.perf_counter() - t0
+            mn, md = _pooled_ess(jax, jnp, np, out_a["theta"])
+            extras["adaptive"] = {
+                "chain_steps_per_sec": round(n_ad * n_chains / dt_a, 1),
+                "acceptance": round(float(np.mean(out_a["accepted"])), 3),
+                "ess_per_hour": {
+                    "min": round(mn / (dt_a / 3600.0), 1),
+                    "median": round(md / (dt_a / 3600.0), 1),
+                },
+                "vs_fixed_steps_per_sec": round(
+                    (n_ad * n_chains / dt_a) / chain_steps_per_sec, 3
+                ),
+            }
+            t = stage("adaptive (production sampler)", t)
+        except Exception as exc:  # pragma: no cover
+            extras["adaptive"] = {"error": str(exc)[:200]}
+
+    # ---- parallel tempering (multimodal production mode; octant physics)
+    if os.environ.get("MACH3_BENCH_PT", "1") != "0":
+        try:
+            from mach3_tpu.fitters.tempering import ParallelTempering, PTConfig
+
+            n_w = 8 if small else 64
+            n_pt = 60 if small else 300
+            init_pt = np.tile(theta0, (n_w, 1)) + 1e-3 * rng.normal(
+                size=(n_w, len(theta0))
+            )
+            pt = ParallelTempering(
+                toy.model,
+                PTConfig(n_steps=n_pt, n_temps=6, max_temp=32.0, chunk_size=50),
+                init_pt,
+                seed=5,
+            )
+            pt.run(n_steps=50)
+            t0 = time.perf_counter()
+            out_pt = pt.run(n_steps=n_pt)
+            jax.block_until_ready(pt.state.theta)
+            dt_pt = time.perf_counter() - t0
+            sw = np.asarray(pt.state.swap_accepts) / np.maximum(
+                np.asarray(pt.state.swap_attempts) * n_w, 1
+            )
+            extras["parallel_tempering"] = {
+                "levels": 6,
+                "walkers": n_w,
+                "cold_chain_steps_per_sec": round(n_pt * n_w / dt_pt, 1),
+                "all_level_chain_steps_per_sec": round(n_pt * n_w * 6 / dt_pt, 1),
+                "swap_acceptance": [round(float(x), 3) for x in sw],
+            }
+            t = stage("parallel tempering", t)
+        except Exception as exc:  # pragma: no cover
+            extras["parallel_tempering"] = {"error": str(exc)[:200]}
 
     # ---- per-step component budget + spline-reweight events/s (256 chains)
     try:
@@ -149,28 +244,29 @@ def main() -> None:
         extras["component_ms"] = {"error": str(exc)[:200]}
 
     # ---- 1024-chain throughput point
-    try:
-        big_init = np.tile(theta0, (1024, 1)) + 1e-3 * rng.normal(
-            size=(1024, len(theta0))
-        )
-        f2 = MR2T2(toy.model, MCMCConfig(n_steps=100, chunk_size=50), big_init, seed=3)
-        f2.run(n_steps=50)
-        t0 = time.perf_counter()
-        f2.run(n_steps=100)
-        jax.block_until_ready(f2.state.theta)
-        dt2 = time.perf_counter() - t0
-        extras["chains_1024"] = {
-            "chain_steps_per_sec": round(100 * 1024 / dt2, 1),
-            "scaling_efficiency_vs_256": round(
-                (100 * 1024 / dt2) / chain_steps_per_sec, 3
-            ),
-        }
-        t = stage("1024 chains", t)
-    except Exception as exc:  # pragma: no cover
-        extras["chains_1024"] = {"error": str(exc)[:200]}
+    if not small:
+        try:
+            big_init = np.tile(theta0, (1024, 1)) + 1e-3 * rng.normal(
+                size=(1024, len(theta0))
+            )
+            f2 = MR2T2(toy.model, MCMCConfig(n_steps=100, chunk_size=50), big_init, seed=3)
+            f2.run(n_steps=50)
+            t0 = time.perf_counter()
+            f2.run(n_steps=100)
+            jax.block_until_ready(f2.state.theta)
+            dt2 = time.perf_counter() - t0
+            extras["chains_1024"] = {
+                "chain_steps_per_sec": round(100 * 1024 / dt2, 1),
+                "scaling_efficiency_vs_256": round(
+                    (100 * 1024 / dt2) / chain_steps_per_sec, 3
+                ),
+            }
+            t = stage("1024 chains", t)
+        except Exception as exc:  # pragma: no cover
+            extras["chains_1024"] = {"error": str(exc)[:200]}
 
     # ---- reference-scale fixture (VERDICT r1 item 1 numbers)
-    if os.environ.get("MACH3_BENCH_LARGE", "1") != "0":
+    if os.environ.get("MACH3_BENCH_LARGE", "1") != "0" and not small:
         try:
             from mach3_tpu.tutorial.large import build_large
 
@@ -220,14 +316,36 @@ def main() -> None:
                 "reweight": rw,
             }
             t = stage("large-scale", t)
+
+            # ADAPTIVE (production) sampler at reference scale: ESS/hour
+            if os.environ.get("MACH3_BENCH_ADAPTIVE", "1") != "0":
+                cfg_al = MCMCConfig(
+                    n_steps=400, chunk_size=50, adaptive=True,
+                    adaption_mode="pooled", adaption_start_update=30,
+                    adaption_start_throw=150, adaption_update_step=50,
+                )
+                fal = MR2T2(exp.model, cfg_al, init_l, seed=6)
+                fal.run(n_steps=200)  # compile + adaptation warm-up
+                t0 = time.perf_counter()
+                out_al = fal.run(n_steps=400)
+                jax.block_until_ready(fal.state.theta)
+                dt_al = time.perf_counter() - t0
+                mn, md = _pooled_ess(jax, jnp, np, out_al["theta"])
+                extras["large_scale"]["adaptive"] = {
+                    "chain_steps_per_sec": round(400 * c_large / dt_al, 1),
+                    "acceptance": round(float(np.mean(out_al["accepted"])), 3),
+                    "ess_per_hour": {
+                        "min": round(mn / (dt_al / 3600.0), 1),
+                        "median": round(md / (dt_al / 3600.0), 1),
+                    },
+                }
+                t = stage("large-scale adaptive", t)
         except Exception as exc:  # pragma: no cover
             extras["large_scale"] = {"error": str(exc)[:300]}
 
-    # ---- ChEES-HMC ESS/hour on the toy fit (gradient-based sampling the
-    # reference cannot do; cross-chain trajectory adaptation)
-    if os.environ.get("MACH3_BENCH_HMC", "1") != "0":
+    # ---- gradient samplers: ChEES-HMC on the toy + large-fixture grad budget
+    if os.environ.get("MACH3_BENCH_HMC", "1") != "0" and not small:
         try:
-            from mach3_tpu.diagnostics.autocorr import effective_sample_size
             from mach3_tpu.fitters.hmc import HMC, HMCConfig
 
             c_hmc = 64
@@ -249,26 +367,59 @@ def main() -> None:
             out_h = hmc.run(n_steps=n_meas)
             jax.block_until_ready(hmc.state.theta)
             dt_h = time.perf_counter() - t0
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                ess_h = np.asarray(
-                    jax.jit(jax.vmap(effective_sample_size, in_axes=1, out_axes=0))(
-                        jnp.asarray(out_h["theta"])
-                    )
-                )
-            ess_tot = ess_h.sum(axis=0)
+            mn, md = _pooled_ess(jax, jnp, np, out_h["theta"])
             extras["chees_hmc"] = {
                 "chains": c_hmc,
                 "steps_per_sec": round(n_meas * c_hmc / dt_h, 1),
                 "acceptance": round(float(hmc.acceptance_rate.mean()), 3),
                 "traj_time": round(float(np.exp(np.asarray(hmc.state.log_traj))), 4),
                 "ess_per_hour": {
-                    "min": round(float(ess_tot.min() / (dt_h / 3600.0)), 1),
-                    "median": round(float(np.median(ess_tot) / (dt_h / 3600.0)), 1),
+                    "min": round(mn / (dt_h / 3600.0), 1),
+                    "median": round(md / (dt_h / 3600.0), 1),
                 },
             }
             t = stage("chees-hmc", t)
         except Exception as exc:  # pragma: no cover
             extras["chees_hmc"] = {"error": str(exc)[:200]}
+
+        # Large-fixture gradient-path budget: XLA forward/backward vs fused
+        # Pallas forward (VERDICT r2 #2: the gradient path must be measured
+        # at reference scale, not assumed).
+        if os.environ.get("MACH3_BENCH_LARGE", "1") != "0":
+            try:
+                from mach3_tpu.tutorial.large import build_large as _bl
+
+                if "exp" not in dir():
+                    exp = _bl(use_pallas=True, low_memory=True)
+                c_g = 64
+                th_g = jnp.asarray(
+                    np.tile(np.asarray(exp.model.prefit_vector()), (c_g, 1))
+                    + 1e-3 * rng.normal(size=(c_g, exp.n_params))
+                )
+                fwd = scan_time(
+                    jax, jnp, lambda m, t: m.log_posterior_batch(t),
+                    exp.model, th_g, iters=5,
+                )
+                grad = scan_time(
+                    jax, jnp,
+                    lambda m, t: jax.grad(lambda tt: jnp.sum(m.log_posterior_batch(tt)))(t),
+                    exp.model, th_g, iters=5,
+                )
+                fused = scan_time(
+                    jax, jnp, lambda m, t: m.total_nll_batch(t),
+                    exp.model, th_g, iters=5,
+                )
+                extras["hmc_large_grad_budget"] = {
+                    "chains": c_g,
+                    "xla_forward_ms": round(1e3 * fwd, 2),
+                    "xla_grad_ms": round(1e3 * grad, 2),
+                    "fused_forward_ms": round(1e3 * fused, 2),
+                    "xla_fwd_over_fused": round(fwd / fused, 2),
+                    "grad_over_fused": round(grad / fused, 2),
+                }
+                t = stage("large grad budget", t)
+            except Exception as exc:  # pragma: no cover
+                extras["hmc_large_grad_budget"] = {"error": str(exc)[:300]}
 
     print(
         json.dumps(

@@ -91,8 +91,10 @@ def _gaussian_fit(centers: np.ndarray, counts: np.ndarray) -> tuple[float, float
                 and 0 < sig_fit < 5 * sigma
             ):
                 return mu_fit, sig_fit
-        except Exception:  # singular fits fall back to moments
-            pass
+        except Exception as exc:  # singular fits fall back to moments
+            # Logged, not silent: a missing/broken scipy would otherwise
+            # quietly degrade every Gaussian estimator to moments.
+            _log.warning("Gaussian fit fell back to moments: %s", exc)
     # Moment fallback with one 2.5-sigma trimming pass.
     sel = np.abs(centers - mean) < 2.5 * sigma
     if counts[sel].sum() > 0:
