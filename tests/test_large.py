@@ -120,3 +120,27 @@ def test_flux_norm_kinematic_binning(large):
     # every event that is numu-flux matches exactly one bin norm; none matches two
     assert counts.max() <= 1
     assert counts.sum() > 0
+
+
+def test_roofline_budget(large):
+    """Roofline accounting (BASELINE.md 'speed-of-light per chip'): the
+    byte/FLOP budget derives from real array shapes, components cover every
+    sample, and the floors obey the two roofline laws."""
+    from mach3_tpu.diagnostics.roofline import report
+
+    rep = report(large.model, n_chains=128, measured_step_ms=25.0)
+    assert rep["hbm_gbytes_per_step"] > 0
+    assert rep["memory_floor_ms"] > 0
+    assert rep["mxu_floor_ms"] >= 0
+    # a memory-bound design: the memory floor dominates the MXU floor
+    assert rep["memory_floor_ms"] > rep["mxu_floor_ms"]
+    names = set(rep["components"])
+    for s in large.samples:
+        assert f"{s.name}:base_w" in names
+        assert f"{s.name}:llh" in names
+    assert any(n.endswith(":kernel") for n in names)
+    assert any(n.endswith(":osc") for n in names)
+    assert 0 < rep["fraction_of_memory_floor"] <= 1.5
+    # component floors sum to the combined floor
+    tot = sum(c["floor_ms"] for c in rep["components"].values())
+    assert abs(tot - rep["combined_floor_ms"]) < 0.01 + 0.01 * tot
