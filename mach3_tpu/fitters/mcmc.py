@@ -435,6 +435,19 @@ class MR2T2:
 
         theta0 = jnp.asarray(init_theta, ATYPE)
         nll0 = jax.jit(lambda m, t: m.total_nll_batch(t))(model, theta0)
+        n_oob = int(np.asarray(jnp.sum(nll0 >= LARGE_LOGL, dtype=jnp.int32)))
+        if n_oob:
+            # A chain at the sentinel may never repair itself (accept requires
+            # an in-bounds proposal, and narrow parameters — e.g. a 3e-5-wide
+            # dm2_21 prior — make that a vanishing-probability event under
+            # prior-scaled throws). Loud warning, not an error: deliberate
+            # OOB starts are conceivable in tests.
+            _log.warning(
+                "%d/%d initial chains are OUT OF BOUNDS (nll at the "
+                "LARGE_LOGL sentinel) — they will likely stay stuck; clip "
+                "the initial throws into the parameter bounds",
+                n_oob, theta0.shape[0],
+            )
         self.state = ChainState(
             theta=theta0,
             nll=nll0,

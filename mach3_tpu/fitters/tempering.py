@@ -261,6 +261,14 @@ class ParallelTempering:
         theta0 = jnp.asarray(tiled, ATYPE)
         prior0 = jax.jit(lambda m, t: jax.vmap(m.prior_nll)(t))(model, theta0)
         total0 = jax.jit(lambda m, t: m.total_nll_batch(t))(model, theta0)
+        n_oob = int(np.sum(np.asarray(total0) >= LARGE_LOGL))
+        if n_oob:
+            _log.warning(
+                "%d/%d initial walkers are OUT OF BOUNDS (LARGE_LOGL "
+                "sentinel) — they will likely stay stuck; clip the initial "
+                "throws into the parameter bounds",
+                n_oob, theta0.shape[0],
+            )
         self.state = PTState(
             theta=theta0,
             prior_nll=prior0,
