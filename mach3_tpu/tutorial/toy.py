@@ -163,6 +163,8 @@ class ToyExperiment:
     samples: list[SampleModel]
     model: FitModel
     names: list[str]
+    #: per-sample [E] interaction-mode labels (by-mode predictive breakdowns)
+    event_modes: list[np.ndarray] | None = None
 
     @property
     def n_params(self) -> int:
@@ -286,12 +288,14 @@ def build_toy(
         ), idx
 
     samples = []
+    event_modes = []
     builder = build_dense_table if dense_splines else build_sparse_table
     for name, mask, edges in [
         ("numu_sample", is_numu_sel, np.linspace(0.0, 3.0, 31)),
         ("nue_sample", is_nue_sel, np.linspace(0.0, 3.0, 16)),
     ]:
         sub, idx = subset(events, mask)
+        event_modes.append(np.asarray(sub.mode))
         remap = -np.ones(len(events.mode), np.int64)
         remap[idx] = np.arange(len(idx))
         sub_specs = []
@@ -372,7 +376,10 @@ def build_toy(
         ]  # sample as a jit ARG: avoids constant-folding the tables
     samples = [s.with_data(a) for s, a in zip(samples, asimov)]
     model = FitModel.build([xsec, osc], samples)
-    return ToyExperiment(xsec=xsec, osc=osc, samples=samples, model=model, names=names)
+    return ToyExperiment(
+        xsec=xsec, osc=osc, samples=samples, model=model, names=names,
+        event_modes=event_modes,
+    )
 
 
 def build_octant_toy(
