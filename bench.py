@@ -67,6 +67,21 @@ def scan_time(jax, jnp, fn, mdl, *arrs, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
+def jitter_init(np, model, theta0, n_chains, rng, frac=0.05):
+    """Initial chain positions: prefit + frac*prior-sigma jitter, clipped
+    inside the bounds. A flat 1e-3 jitter (r01/r02 bench) threw ~99% of
+    chains out of bounds on narrow parameters (dm2_21 prior sigma ~1.8e-5,
+    bounds [6e-5, 9e-5]) where they stay stuck — every ESS/acceptance
+    number measured mostly-frozen chains."""
+    flat = model._flat()
+    chol = np.asarray(flat.chol)
+    sig = np.sqrt(np.diag(chol @ chol.T))
+    lo, hi = np.asarray(flat.low_bound), np.asarray(flat.up_bound)
+    init = theta0 + frac * sig * rng.normal(size=(n_chains, len(theta0)))
+    eps = 1e-6 * (hi - lo)
+    return np.clip(init, lo + eps, hi - eps)
+
+
 def _pooled_ess(jax, jnp, np, draws):
     """Min/median ESS over params, chains pooled. draws [S, C, P]."""
     from mach3_tpu.diagnostics.autocorr import effective_sample_size
@@ -113,7 +128,7 @@ def main() -> None:
     t = stage("build_toy", t)
     theta0 = np.asarray(toy.model.prefit_vector())
     rng = np.random.default_rng(0)
-    init = np.tile(theta0, (n_chains, 1)) + 1e-3 * rng.normal(size=(n_chains, len(theta0)))
+    init = jitter_init(np, toy.model, theta0, n_chains, rng)
 
     fitter = MR2T2(toy.model, MCMCConfig(n_steps=n_steps, chunk_size=50), init, seed=1)
     fitter.run(n_steps=50)  # compile + warm-up
@@ -182,9 +197,7 @@ def main() -> None:
 
             n_w = 8 if small else 64
             n_pt = 60 if small else 300
-            init_pt = np.tile(theta0, (n_w, 1)) + 1e-3 * rng.normal(
-                size=(n_w, len(theta0))
-            )
+            init_pt = jitter_init(np, toy.model, theta0, n_w, rng)
             pt = ParallelTempering(
                 toy.model,
                 PTConfig(n_steps=n_pt, n_temps=6, max_temp=32.0, chunk_size=50),
@@ -246,9 +259,7 @@ def main() -> None:
     # ---- 1024-chain throughput point
     if not small:
         try:
-            big_init = np.tile(theta0, (1024, 1)) + 1e-3 * rng.normal(
-                size=(1024, len(theta0))
-            )
+            big_init = jitter_init(np, toy.model, theta0, 1024, rng)
             f2 = MR2T2(toy.model, MCMCConfig(n_steps=100, chunk_size=50), big_init, seed=3)
             f2.run(n_steps=50)
             t0 = time.perf_counter()
@@ -273,10 +284,9 @@ def main() -> None:
             exp = build_large(use_pallas=True, low_memory=True)
             t = stage("build_large", t)
             c_large = 128  # near the per-chain/per-chip throughput sweet spot
-            th_l = np.tile(np.asarray(exp.model.prefit_vector()), (c_large, 1))
-            th_l = jnp.asarray(
-                th_l + 1e-3 * rng.normal(size=th_l.shape)
-            )
+            th_l = jnp.asarray(jitter_init(
+                np, exp.model, np.asarray(exp.model.prefit_vector()), c_large, rng
+            ))
             dt_nll = scan_time(jax, jnp, lambda m, t: m.total_nll_batch(t), exp.model, th_l, iters=10)
             ev_total = sum(s.n_events for s in exp.samples)
             rw = {}
@@ -349,9 +359,7 @@ def main() -> None:
             from mach3_tpu.fitters.hmc import HMC, HMCConfig
 
             c_hmc = 64
-            init_h = np.tile(theta0, (c_hmc, 1)) + 1e-3 * rng.normal(
-                size=(c_hmc, len(theta0))
-            )
+            init_h = jitter_init(np, toy.model, theta0, c_hmc, rng)
             hmc = HMC(
                 toy.model,
                 HMCConfig(
@@ -392,10 +400,9 @@ def main() -> None:
                 if "exp" not in dir():
                     exp = _bl(use_pallas=True, low_memory=True)
                 c_g = 64
-                th_g = jnp.asarray(
-                    np.tile(np.asarray(exp.model.prefit_vector()), (c_g, 1))
-                    + 1e-3 * rng.normal(size=(c_g, exp.n_params))
-                )
+                th_g = jnp.asarray(jitter_init(
+                    np, exp.model, np.asarray(exp.model.prefit_vector()), c_g, rng
+                ))
                 fwd = scan_time(
                     jax, jnp, lambda m, t: m.log_posterior_batch(t),
                     exp.model, th_g, iters=5,
