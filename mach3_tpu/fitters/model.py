@@ -292,10 +292,10 @@ class FitModel:
         batched machinery: oscillation grids are computed once per unique
         signature and shared across samples (``OscillationHandler.cpp:18-35``),
         the prior is one whole-vector quadratic form on the block-diagonal
-        flattened model, and each sample's reweight runs as a chain-batched
-        XLA program (fused Pallas kernels are NOT differentiable, so the
-        forward intentionally routes through the pure-XLA path;
-        :meth:`SampleModel.log_likelihood_batch_xla`). No out-of-bounds
+        flattened model, and each sample's reweight runs fused: forward is
+        the Pallas kernel, backward the analytic two-pass gradient kernel
+        (:meth:`SampleModel.log_likelihood_batch_diff`; samples without a
+        fused route fall back to the batched XLA twin). No out-of-bounds
         sentinel — hard bounds are the caller's job (HMC applies them as a
         -inf mask outside the gradient)."""
         flat = self._flat()
@@ -306,7 +306,7 @@ class FitModel:
         if self.samples:
             osc_tables = self._shared_osc_tables(thetas)
             for i, s in enumerate(self.samples):
-                total = total - s.log_likelihood_batch_xla(
+                total = total - s.log_likelihood_batch_diff(
                     thetas, osc_grids_batch=osc_tables[i]
                 )
         return total

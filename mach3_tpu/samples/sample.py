@@ -548,11 +548,87 @@ class SampleModel:
 
         The differentiable twin of :meth:`log_likelihood_batch`: identical
         math, but the spline product + histogram run as vmapped XLA ops that
-        ``jax.grad`` can reverse (``pallas_call`` has no VJP). Gradient
-        samplers (HMC/MALA/ChEES) and the minimiser ride this."""
+        ``jax.grad`` can reverse. Fallback for samples the fused
+        differentiable path (:meth:`log_likelihood_batch_diff`) cannot take,
+        and the parity anchor for its tests."""
         oc = (None,) if osc_grids_batch is None else (osc_grids_batch,)
         in_axes = (0, None if osc_grids_batch is None else 0)
         mc, w2 = jax.vmap(self.reweight, in_axes=in_axes)(thetas, *oc)
+        stat_fn = get_test_stat_fn(self.test_statistic)
+        per_bin = stat_fn(self.data[None, :], mc.astype(ATYPE), w2.astype(ATYPE))
+        return jnp.sum(per_bin, axis=1)
+
+    def _diff_route(self) -> tuple | None:
+        """Static config for the fused differentiable path, or None for the
+        XLA fallback. Shared-bins samples use the route's tiles (any P via
+        param blocking); per-chain-bins samples qualify only when small
+        enough for the unblocked kernel + mask-loop backward gather."""
+        from ..splines.pallas_grad import MAX_PERCHAIN_BINS
+
+        if not (self.use_pallas and isinstance(self.spline_table, DenseSplineTable)):
+            return None
+        kr = self.kernel_route
+        routed = kr is not None and kr.use_pallas
+        if self.static_bins is not None:
+            return (
+                self.n_bins,
+                kr.chain_tile if routed else 64,
+                kr.event_tile if routed else 4096,
+                kr.param_tile if routed else None,
+                True,
+            )
+        if (
+            self.spline_table.coeffs.shape[0] <= 16
+            and self.n_bins <= MAX_PERCHAIN_BINS
+        ):
+            return (self.n_bins, 16, 2048, None, False)
+        return None
+
+    def log_likelihood_batch_diff(
+        self, thetas: jnp.ndarray, osc_grids_batch: tuple | None = None
+    ) -> jnp.ndarray:
+        """[C, NP] -> [C] -logL, differentiable at fused-kernel speed.
+
+        Forward runs the fused Pallas reweight+histogram; backward is the
+        analytic two-pass kernel (``splines/pallas_grad.py``). Unlike the
+        sampling path, the norm product stays in XLA-side ``base_w`` so its
+        gradient rides ordinary autodiff. Gradient samplers
+        (HMC/MALA/ChEES) and the minimiser ride this; samples without a
+        fused route fall back to :meth:`log_likelihood_batch_xla`.
+        Bin indices are integer outputs (piecewise-constant in θ), so
+        functional-shift parameters get their a.e.-zero binning gradient in
+        both paths."""
+        static = self._diff_route()
+        if static is None:
+            return self.log_likelihood_batch_xla(thetas, osc_grids_batch)
+        from ..splines.pallas_grad import fused_reweight_diff
+        from ..splines.pallas_reweight import spline_selector
+
+        oc = (None,) if osc_grids_batch is None else (osc_grids_batch,)
+        in_axes = (0, None if osc_grids_batch is None else 0)
+
+        def _base(t, c):
+            w = self.mc_weight * self._osc_weights(t, c) * self._norm_weights(t)
+            if self.tf1_table is not None:
+                w = w * self.tf1_table.eval(t)
+            fw = self._func_weights(t)
+            if fw is not None:
+                w = w * fw
+            return w
+
+        base_w = jax.vmap(_base, in_axes=in_axes)(thetas, *oc)
+        selector = spline_selector(self.spline_table, thetas)
+        table = self.spline_table
+        coeffs = table.coeffs.reshape(
+            table.coeffs.shape[0], -1, table.coeffs.shape[3]
+        )
+        if static[4]:
+            bins = self.static_bins
+        else:
+            bins = jax.vmap(
+                lambda t: self.binning.find_bins(self._shifted_kinematics(t))
+            )(thetas)
+        mc, w2 = fused_reweight_diff(static, selector, coeffs, base_w, bins)
         stat_fn = get_test_stat_fn(self.test_statistic)
         per_bin = stat_fn(self.data[None, :], mc.astype(ATYPE), w2.astype(ATYPE))
         return jnp.sum(per_bin, axis=1)

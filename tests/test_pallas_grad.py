@@ -1,0 +1,237 @@
+"""Analytic VJP of the fused reweight kernel vs jax.grad of the XLA twin
+(interpret mode on CPU). The differentiable fused path is what HMC/MALA/
+ChEES/L-BFGS ride at scale (splines/pallas_grad.py)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mach3_tpu.samples.binning import histogram
+from mach3_tpu.splines import pallas_reweight as pr
+from mach3_tpu.splines.monolith import SplineParamSpec, build_dense_table
+from mach3_tpu.splines.pallas_grad import fused_reweight_diff
+
+
+@pytest.fixture()
+def interp(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    pr.fused_reweight_histogram.clear_cache()
+    pr.fused_reweight_histogram_shared.clear_cache()
+    yield
+    pr.fused_reweight_histogram.clear_cache()
+    pr.fused_reweight_histogram_shared.clear_cache()
+
+
+def _setup(n_events=300, n_chains=5, n_bins=13, n_params=3, seed=0,
+           zero_param=None):
+    """Random dense table + base weights. zero_param: force that parameter's
+    coefficients to all-zeros so its response is EXACTLY 0 for every event
+    (exercises the zero-counting exclusion product)."""
+    rng = np.random.default_rng(seed)
+    specs = []
+    for p in range(n_params):
+        y = 1.0 + 0.1 * rng.normal(size=(n_events, 5)).cumsum(axis=1)
+        if zero_param == p:
+            y = np.zeros_like(y)
+        specs.append(
+            SplineParamSpec(
+                name=f"p{p}",
+                param_index=p,
+                x_knots=np.array([-2.0, -1.0, 0.0, 1.0, 2.0]),
+                event_ids=np.arange(n_events),
+                y_knots=y,
+            )
+        )
+    table = build_dense_table(specs, n_events)
+    base_w = jnp.asarray(rng.random((n_chains, n_events)), jnp.float32)
+    params = jnp.asarray(0.3 * rng.normal(size=(n_chains, n_params + 1)))
+    gmc = jnp.asarray(rng.normal(size=(n_chains, n_bins)), jnp.float32)
+    gw2 = jnp.asarray(rng.normal(size=(n_chains, n_bins)), jnp.float32)
+    return table, base_w, params, gmc, gw2
+
+
+def _xla_loss(selector, base_w, coeffs, bins, n_bins, gmc, gw2, shared):
+    """Reference loss: <g_mc, mc> + <g_w2, w2> through the pure-XLA program
+    (its jax.grad is the ground truth for the hand-written backward)."""
+    resp = jnp.einsum("cpk,pke->cpe", selector, coeffs)
+    w = base_w * jnp.prod(resp, axis=1)  # [C, E]
+    b = jnp.broadcast_to(bins[None, :], w.shape) if shared else bins
+
+    def hist_one(wc, bc):
+        mc, w2 = histogram(wc, bc, n_bins)
+        return mc, w2
+
+    mc, w2 = jax.vmap(hist_one)(w, b)
+    return jnp.sum(gmc * mc) + jnp.sum(gw2 * w2)
+
+
+def _fused_loss(selector, base_w, coeffs, bins, static, gmc, gw2):
+    mc, w2 = fused_reweight_diff(static, selector, coeffs, base_w, bins)
+    return jnp.sum(gmc * mc) + jnp.sum(gw2 * w2)
+
+
+@pytest.mark.parametrize("shared", [True, False])
+def test_value_and_grad_parity(interp, shared):
+    n_bins = 13
+    table, base_w, params, gmc, gw2 = _setup(n_bins=n_bins)
+    rng = np.random.default_rng(1)
+    selector = pr.spline_selector(table, params)
+    coeffs = table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3])
+    if shared:
+        bins = jnp.asarray(rng.integers(0, n_bins + 1, base_w.shape[1]), jnp.int32)
+        static = (n_bins, 4, 128, None, True)
+    else:
+        bins = jnp.asarray(
+            rng.integers(0, n_bins + 1, base_w.shape), jnp.int32
+        )
+        static = (n_bins, 4, 128, None, False)
+
+    f_fused = functools.partial(
+        _fused_loss, coeffs=coeffs, bins=bins, static=static, gmc=gmc, gw2=gw2
+    )
+    f_xla = functools.partial(
+        _xla_loss, coeffs=coeffs, bins=bins, n_bins=n_bins, gmc=gmc, gw2=gw2,
+        shared=shared,
+    )
+    v_f = float(f_fused(selector, base_w))
+    v_x = float(f_xla(selector, base_w))
+    np.testing.assert_allclose(v_f, v_x, rtol=1e-5)
+
+    gs_f, gb_f = jax.grad(f_fused, argnums=(0, 1))(selector, base_w)
+    gs_x, gb_x = jax.grad(f_xla, argnums=(0, 1))(selector, base_w)
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_x), rtol=2e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_x), rtol=2e-5,
+                               atol=1e-5)
+
+
+def test_param_blocked_backward(interp):
+    """Param-blocked variant (param_tile < P): the two-pass backward must
+    stream coefficient tiles exactly like the forward."""
+    n_bins = 9
+    table, base_w, params, gmc, gw2 = _setup(n_params=7, n_bins=n_bins, seed=3)
+    rng = np.random.default_rng(4)
+    selector = pr.spline_selector(table, params)
+    coeffs = table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3])
+    bins = jnp.asarray(rng.integers(0, n_bins + 1, base_w.shape[1]), jnp.int32)
+    static = (n_bins, 4, 128, 3, True)  # param_tile=3 < P=7 (pads to 9)
+
+    f_fused = functools.partial(
+        _fused_loss, coeffs=coeffs, bins=bins, static=static, gmc=gmc, gw2=gw2
+    )
+    f_xla = functools.partial(
+        _xla_loss, coeffs=coeffs, bins=bins, n_bins=n_bins, gmc=gmc, gw2=gw2,
+        shared=True,
+    )
+    np.testing.assert_allclose(
+        float(f_fused(selector, base_w)), float(f_xla(selector, base_w)),
+        rtol=1e-5,
+    )
+    gs_f, gb_f = jax.grad(f_fused, argnums=(0, 1))(selector, base_w)
+    gs_x, gb_x = jax.grad(f_xla, argnums=(0, 1))(selector, base_w)
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_x), rtol=2e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_x), rtol=2e-5,
+                               atol=1e-5)
+
+
+def test_zero_response_exclusion(interp):
+    """One parameter's response is exactly 0 everywhere (zero SELECTOR row,
+    nonzero coefficients): all other params' selector grads must vanish while
+    the zero param keeps the product of the others — the nz-counting
+    factorisation, not a division blow-up."""
+    n_bins = 9
+    table, base_w, params, gmc, gw2 = _setup(n_params=3, n_bins=n_bins, seed=7)
+    rng = np.random.default_rng(8)
+    selector = pr.spline_selector(table, params)
+    selector = selector.at[:, 1, :].set(0.0)  # resp_1 == 0 exactly
+    coeffs = table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3])
+    bins = jnp.asarray(rng.integers(0, n_bins + 1, base_w.shape[1]), jnp.int32)
+    static = (n_bins, 4, 128, None, True)
+
+    f_fused = functools.partial(
+        _fused_loss, coeffs=coeffs, bins=bins, static=static, gmc=gmc, gw2=gw2
+    )
+    f_xla = functools.partial(
+        _xla_loss, coeffs=coeffs, bins=bins, n_bins=n_bins, gmc=gmc, gw2=gw2,
+        shared=True,
+    )
+    gs_f, gb_f = jax.grad(f_fused, argnums=(0, 1))(selector, base_w)
+    gs_x, gb_x = jax.grad(f_xla, argnums=(0, 1))(selector, base_w)
+    assert np.all(np.isfinite(np.asarray(gs_f)))
+    # base grad = G * prod(resp) = 0 since one factor is identically 0
+    np.testing.assert_allclose(np.asarray(gb_f), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_x), rtol=2e-5,
+                               atol=1e-5)
+    # the zero param's own grad is the only nonzero block
+    assert np.any(np.asarray(gs_f)[:, 1, :] != 0)
+    np.testing.assert_allclose(np.asarray(gs_f)[:, 0, :], 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gs_f)[:, 2, :], 0.0, atol=1e-6)
+
+
+def test_sample_level_diff_path(interp):
+    """End-to-end: SampleModel.log_likelihood_batch_diff (fused forward +
+    analytic backward, per-chain-bins route on the toy's shifted samples)
+    matches the XLA twin in value and gradient."""
+    from mach3_tpu.tutorial.toy import build_toy
+
+    toy = build_toy(n_events=600, seed=11, e_grid_size=30, use_pallas=True)
+    s = toy.model.samples[0]
+    assert s._diff_route() is not None
+    theta0 = np.asarray(toy.model.prefit_vector())
+    rng = np.random.default_rng(12)
+    thetas = jnp.asarray(
+        np.tile(theta0, (3, 1)) * (1 + 0.02 * rng.normal(size=(3, len(theta0))))
+    )
+
+    v_d = np.asarray(s.log_likelihood_batch_diff(thetas))
+    v_x = np.asarray(s.log_likelihood_batch_xla(thetas))
+    np.testing.assert_allclose(v_d, v_x, rtol=1e-5)
+
+    g_d = np.asarray(
+        jax.grad(lambda t: jnp.sum(s.log_likelihood_batch_diff(t)))(thetas)
+    )
+    g_x = np.asarray(
+        jax.grad(lambda t: jnp.sum(s.log_likelihood_batch_xla(t)))(thetas)
+    )
+    assert np.all(np.isfinite(g_d))
+    np.testing.assert_allclose(g_d, g_x, rtol=5e-4, atol=2e-4)
+
+
+def test_model_posterior_batch_uses_diff_path(interp):
+    """log_posterior_batch (the HMC entry point) with fused samples still
+    matches vmap(log_posterior) in value and gradient."""
+    from mach3_tpu.tutorial.toy import build_toy
+
+    toy = build_toy(n_events=500, seed=13, e_grid_size=30, use_pallas=True)
+    theta0 = np.asarray(toy.model.prefit_vector())
+    rng = np.random.default_rng(14)
+    lo = np.concatenate([np.asarray(p.low_bound) for p in toy.model.priors])
+    hi = np.concatenate([np.asarray(p.up_bound) for p in toy.model.priors])
+    errs = 0.05 * (hi - lo)
+    thetas = np.clip(
+        np.tile(theta0, (4, 1)) + 0.02 * errs * rng.normal(size=(4, len(theta0))),
+        lo + 1e-9, hi - 1e-9,
+    )
+    thetas = jnp.asarray(thetas)
+
+    batched = np.asarray(toy.model.log_posterior_batch(thetas))
+    looped = np.asarray(jax.vmap(toy.model.log_posterior)(thetas))
+    np.testing.assert_allclose(batched, looped, rtol=1e-5)
+
+    g_b = np.asarray(
+        jax.grad(lambda t: jnp.sum(toy.model.log_posterior_batch(t)))(thetas)
+    )
+    g_l = np.asarray(jax.vmap(jax.grad(toy.model.log_posterior))(thetas))
+    assert np.all(np.isfinite(g_b))
+    np.testing.assert_allclose(g_b, g_l, rtol=5e-4, atol=5e-4)
