@@ -403,6 +403,17 @@ def main() -> None:
                 th_g = jnp.asarray(jitter_init(
                     np, exp.model, np.asarray(exp.model.prefit_vector()), c_g, rng
                 ))
+                def _lp_xla(m, t_):
+                    # The pre-VJP gradient path (pure-XLA spline product +
+                    # scatter histogram) kept as the comparison baseline.
+                    tabs = m._shared_osc_tables(t_)
+                    total = jnp.zeros((t_.shape[0],))
+                    for i, s in enumerate(m.samples):
+                        total = total - s.log_likelihood_batch_xla(
+                            t_, osc_grids_batch=tabs[i]
+                        )
+                    return total
+
                 fwd = scan_time(
                     jax, jnp, lambda m, t: m.log_posterior_batch(t),
                     exp.model, th_g, iters=5,
@@ -418,12 +429,28 @@ def main() -> None:
                 )
                 extras["hmc_large_grad_budget"] = {
                     "chains": c_g,
-                    "xla_forward_ms": round(1e3 * fwd, 2),
-                    "xla_grad_ms": round(1e3 * grad, 2),
+                    "diff_forward_ms": round(1e3 * fwd, 2),
+                    "diff_grad_ms": round(1e3 * grad, 2),
                     "fused_forward_ms": round(1e3 * fused, 2),
-                    "xla_fwd_over_fused": round(fwd / fused, 2),
+                    "diff_fwd_over_fused": round(fwd / fused, 2),
                     "grad_over_fused": round(grad / fused, 2),
                 }
+                try:
+                    grad_x = scan_time(
+                        jax, jnp,
+                        lambda m, t: jax.grad(lambda tt: jnp.sum(_lp_xla(m, tt)))(t),
+                        exp.model, th_g, iters=3,
+                    )
+                    extras["hmc_large_grad_budget"]["xla_grad_ms"] = round(
+                        1e3 * grad_x, 2
+                    )
+                    extras["hmc_large_grad_budget"]["fused_grad_speedup"] = (
+                        round(grad_x / grad, 2)
+                    )
+                except Exception as exc:  # pragma: no cover
+                    extras["hmc_large_grad_budget"]["xla_grad_error"] = (
+                        str(exc)[:200]
+                    )
                 t = stage("large grad budget", t)
             except Exception as exc:  # pragma: no cover
                 extras["hmc_large_grad_budget"] = {"error": str(exc)[:300]}

@@ -559,10 +559,12 @@ class SampleModel:
         return jnp.sum(per_bin, axis=1)
 
     def _diff_route(self) -> tuple | None:
-        """Static config for the fused differentiable path, or None for the
+        """(kind, static) for the fused differentiable path, or None for the
         XLA fallback. Shared-bins samples use the route's tiles (any P via
-        param blocking); per-chain-bins samples qualify only when small
-        enough for the unblocked kernel + mask-loop backward gather."""
+        param blocking); shifted-route samples use the in-kernel-binning
+        forward (any P) with the mask-loop backward gather; other
+        per-chain-bins samples qualify only when small enough for the
+        unblocked generic kernel."""
         from ..splines.pallas_grad import MAX_PERCHAIN_BINS
 
         if not (self.use_pallas and isinstance(self.spline_table, DenseSplineTable)):
@@ -570,18 +572,27 @@ class SampleModel:
         kr = self.kernel_route
         routed = kr is not None and kr.use_pallas
         if self.static_bins is not None:
-            return (
+            return "shared", (
                 self.n_bins,
                 kr.chain_tile if routed else 64,
                 kr.event_tile if routed else 4096,
                 kr.param_tile if routed else None,
                 True,
             )
+        if self.kernel_shift is not None and self.n_bins <= MAX_PERCHAIN_BINS:
+            fn, _, edges, stride_j, n_axis_j = self.kernel_shift
+            return "shifted", (
+                self.n_bins,
+                kr.chain_tile if routed else 16,
+                kr.event_tile if routed else 2048,
+                kr.param_tile if routed else None,
+                fn, edges, stride_j, n_axis_j,
+            )
         if (
             self.spline_table.coeffs.shape[0] <= 16
             and self.n_bins <= MAX_PERCHAIN_BINS
         ):
-            return (self.n_bins, 16, 2048, None, False)
+            return "generic", (self.n_bins, 16, 2048, None, False)
         return None
 
     def log_likelihood_batch_diff(
@@ -598,10 +609,14 @@ class SampleModel:
         Bin indices are integer outputs (piecewise-constant in θ), so
         functional-shift parameters get their a.e.-zero binning gradient in
         both paths."""
-        static = self._diff_route()
-        if static is None:
+        route = self._diff_route()
+        if route is None:
             return self.log_likelihood_batch_xla(thetas, osc_grids_batch)
-        from ..splines.pallas_grad import fused_reweight_diff
+        kind, static = route
+        from ..splines.pallas_grad import (
+            fused_reweight_diff,
+            fused_reweight_diff_shifted,
+        )
         from ..splines.pallas_reweight import spline_selector
 
         oc = (None,) if osc_grids_batch is None else (osc_grids_batch,)
@@ -622,13 +637,25 @@ class SampleModel:
         coeffs = table.coeffs.reshape(
             table.coeffs.shape[0], -1, table.coeffs.shape[3]
         )
-        if static[4]:
-            bins = self.static_bins
-        else:
-            bins = jax.vmap(
+        if kind == "shifted":
+            bins_xla = jax.vmap(
                 lambda t: self.binning.find_bins(self._shifted_kinematics(t))
             )(thetas)
-        mc, w2 = fused_reweight_diff(static, selector, coeffs, base_w, bins)
+            mc, w2 = fused_reweight_diff_shifted(
+                static, selector, coeffs, base_w,
+                thetas[:, self.kernel_shift[1]].astype(FTYPE),
+                self.kin[self.shifts[0].var_row],
+                self.shift_static_base,
+                bins_xla,
+            )
+        else:
+            if kind == "shared":
+                bins = self.static_bins
+            else:
+                bins = jax.vmap(
+                    lambda t: self.binning.find_bins(self._shifted_kinematics(t))
+                )(thetas)
+            mc, w2 = fused_reweight_diff(static, selector, coeffs, base_w, bins)
         stat_fn = get_test_stat_fn(self.test_statistic)
         per_bin = stat_fn(self.data[None, :], mc.astype(ATYPE), w2.astype(ATYPE))
         return jnp.sum(per_bin, axis=1)

@@ -54,7 +54,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 #: Largest per-chain-bins histogram for which the backward gather runs as a
 #: mask loop; bigger B with per-chain bins should use the XLA fallback.
-MAX_PERCHAIN_BINS = 256
+#: Matches the forward's mask-reduce limit (routing.MAX_MASKREDUCE_BINS):
+#: the backward unrolls the same one-select-per-bin pattern.
+MAX_PERCHAIN_BINS = 512
 
 
 def _resp(selector_ref, coeffs_ref, p):
@@ -358,3 +360,62 @@ def _fused_diff_bwd(static, residuals, cotangents):
 
 
 fused_reweight_diff.defvjp(_fused_diff_fwd, _fused_diff_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_reweight_diff_shifted(
+    static, selector, coeffs, base_w, shift_vals, x_nom, static_base, bins_xla
+):
+    """Differentiable fused reweight for SHIFTED-route samples (in-kernel
+    shifted-axis binning; any P via param blocking).
+
+    static = (n_bins, chain_tile, event_tile, param_tile, shift_fn, edges,
+    stride_j, n_axis_j). Forward is ``fused_reweight_histogram_shifted``
+    (norm NOT in-kernel — it stays in ``base_w`` for autodiff); backward is
+    the two-pass analytic kernel with the PRECOMPUTED per-chain bins
+    ``bins_xla`` (same binning formula evaluated in XLA; unused — and
+    DCE'd — in the forward). Bin indices are piecewise-constant in θ, so
+    the shift parameter's binning gradient is the correct a.e. zero, exactly
+    as in the XLA path."""
+    from .pallas_reweight import fused_reweight_histogram_shifted
+
+    n_bins, chain_tile, event_tile, param_tile, shift_fn, edges, stride_j, n_axis_j = static
+    return fused_reweight_histogram_shifted(
+        selector, coeffs, base_w, shift_vals, x_nom, static_base,
+        n_bins=n_bins, shift_fn=shift_fn, edges=edges, stride_j=stride_j,
+        n_axis_j=n_axis_j, chain_tile=chain_tile, event_tile=event_tile,
+        param_tile=param_tile,
+    )
+
+
+def _fused_diff_shifted_fwd(
+    static, selector, coeffs, base_w, shift_vals, x_nom, static_base, bins_xla
+):
+    out = fused_reweight_diff_shifted(
+        static, selector, coeffs, base_w, shift_vals, x_nom, static_base,
+        bins_xla,
+    )
+    return out, (selector, coeffs, base_w, bins_xla, shift_vals, x_nom)
+
+
+def _fused_diff_shifted_bwd(static, residuals, cotangents):
+    n_bins, chain_tile, event_tile, param_tile = static[:4]
+    selector, coeffs, base_w, bins_xla, shift_vals, x_nom = residuals
+    gsel, gbase = _grad_backward(
+        (n_bins, chain_tile, event_tile, param_tile, False),
+        (selector, coeffs, base_w, bins_xla),
+        cotangents,
+    )
+    gsel = gsel.astype(selector.dtype)
+    gbase = gbase.astype(base_w.dtype)
+    gcoeffs = jnp.zeros(coeffs.shape, coeffs.dtype)
+    # Shift value / nominal kinematics: gradients flow only through the
+    # piecewise-constant binning — a.e. zero, matching the XLA path.
+    gshift = jnp.zeros(shift_vals.shape, shift_vals.dtype)
+    gxnom = jnp.zeros(x_nom.shape, x_nom.dtype)
+    gstatic = np.zeros((coeffs.shape[2],), jax.dtypes.float0)
+    gbins = np.zeros(bins_xla.shape, jax.dtypes.float0)
+    return gsel, gcoeffs, gbase, gshift, gxnom, gstatic, gbins
+
+
+fused_reweight_diff_shifted.defvjp(_fused_diff_shifted_fwd, _fused_diff_shifted_bwd)

@@ -25,11 +25,19 @@ def interp(monkeypatch):
         return orig(*args, **kwargs)
 
     monkeypatch.setattr(pl, "pallas_call", patched)
-    pr.fused_reweight_histogram.clear_cache()
-    pr.fused_reweight_histogram_shared.clear_cache()
+    for fn in (
+        pr.fused_reweight_histogram,
+        pr.fused_reweight_histogram_shared,
+        pr.fused_reweight_histogram_shifted,
+    ):
+        fn.clear_cache()
     yield
-    pr.fused_reweight_histogram.clear_cache()
-    pr.fused_reweight_histogram_shared.clear_cache()
+    for fn in (
+        pr.fused_reweight_histogram,
+        pr.fused_reweight_histogram_shared,
+        pr.fused_reweight_histogram_shifted,
+    ):
+        fn.clear_cache()
 
 
 def _setup(n_events=300, n_chains=5, n_bins=13, n_params=3, seed=0,
@@ -177,6 +185,62 @@ def test_zero_response_exclusion(interp):
     assert np.any(np.asarray(gs_f)[:, 1, :] != 0)
     np.testing.assert_allclose(np.asarray(gs_f)[:, 0, :], 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gs_f)[:, 2, :], 0.0, atol=1e-6)
+
+
+def test_shifted_variant_grad_parity(interp):
+    """The shifted-route diff path (in-kernel binning forward, mask-loop
+    backward with XLA-precomputed bins) — incl. param blocking (P > tile)."""
+    from mach3_tpu.splines.pallas_grad import fused_reweight_diff_shifted
+
+    n_bins, n_axis_j, stride_j = 12, 4, 1
+    edges = (0.5, 1.0, 1.5, 2.0, 2.5)
+    table, base_w, params, gmc, gw2 = _setup(n_params=5, n_bins=n_bins, seed=21)
+    rng = np.random.default_rng(22)
+    selector = pr.spline_selector(table, params)
+    coeffs = table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3])
+    n_events = base_w.shape[1]
+    x_nom = jnp.asarray(rng.uniform(0.2, 3.0, n_events), jnp.float32)
+    static_base = jnp.asarray(
+        rng.integers(0, n_bins // n_axis_j, n_events) * n_axis_j, jnp.int32
+    )
+    shift_vals = jnp.asarray(0.05 * rng.normal(size=base_w.shape[0]), jnp.float32)
+
+    def shift_fn(v, x):
+        return x * (1.0 + v)
+
+    def _bins(sv):
+        x = x_nom[None, :] * (1.0 + sv[:, None])  # [C, E]
+        idx = jnp.full(x.shape, -1, jnp.int32)
+        for e_k in edges:
+            idx = idx + (x >= jnp.float32(e_k)).astype(jnp.int32)
+        valid = (idx >= 0) & (idx < n_axis_j) & (static_base[None, :] >= 0)
+        return jnp.where(
+            valid, static_base[None, :] + idx * stride_j, jnp.int32(n_bins)
+        )
+
+    bins_xla = _bins(shift_vals)
+    static = (n_bins, 4, 128, 2, shift_fn, edges, stride_j, n_axis_j)
+
+    def f_fused(sel, bw):
+        mc, w2 = fused_reweight_diff_shifted(
+            static, sel, coeffs, bw, shift_vals, x_nom, static_base, bins_xla
+        )
+        return jnp.sum(gmc * mc) + jnp.sum(gw2 * w2)
+
+    f_xla = functools.partial(
+        _xla_loss, coeffs=coeffs, bins=bins_xla, n_bins=n_bins, gmc=gmc,
+        gw2=gw2, shared=False,
+    )
+    np.testing.assert_allclose(
+        float(f_fused(selector, base_w)), float(f_xla(selector, base_w)),
+        rtol=1e-5,
+    )
+    gs_f, gb_f = jax.grad(f_fused, argnums=(0, 1))(selector, base_w)
+    gs_x, gb_x = jax.grad(f_xla, argnums=(0, 1))(selector, base_w)
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_x), rtol=2e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_x), rtol=2e-5,
+                               atol=1e-5)
 
 
 def test_sample_level_diff_path(interp):
