@@ -27,7 +27,7 @@ def autocorrelation_fft(chain: jnp.ndarray, max_lag: int | None = None) -> jnp.n
     nfft = 1 << int(np.ceil(np.log2(2 * s)))
     f = jnp.fft.rfft(x, n=nfft, axis=0)
     acf = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=0)[:max_lag]
-    return acf / jnp.maximum(acf[0:1], 1e-300)
+    return acf / jnp.maximum(acf[0:1], 1e-30)
 
 
 def integrated_autocorr_time(rho: jnp.ndarray, c: float = 5.0) -> jnp.ndarray:
@@ -77,7 +77,7 @@ def batched_means_variance_ratio(chain: jnp.ndarray, n_batches: int = 20) -> jnp
     s = chain.shape[0]
     var_bm = jnp.var(bm, axis=0, ddof=1) * (s // n_batches)
     var = jnp.var(chain, axis=0, ddof=1)
-    return var_bm / jnp.maximum(var, 1e-300)
+    return var_bm / jnp.maximum(var, 1e-30)
 
 
 def geweke(chain: jnp.ndarray, first: float = 0.1, last: float = 0.5) -> jnp.ndarray:
@@ -96,7 +96,7 @@ def geweke(chain: jnp.ndarray, first: float = 0.1, last: float = 0.5) -> jnp.nda
         return jnp.var(x, axis=0, ddof=1) * tau / x.shape[0]
 
     return (jnp.mean(a, axis=0) - jnp.mean(b, axis=0)) / jnp.sqrt(
-        jnp.maximum(spectral_var(a) + spectral_var(b), 1e-300)
+        jnp.maximum(spectral_var(a) + spectral_var(b), 1e-30)
     )
 
 

@@ -28,7 +28,7 @@ def rhat(chains: jnp.ndarray) -> jnp.ndarray:
     w = jnp.mean(jnp.var(chains, axis=0, ddof=1), axis=0)  # [P]
     b_over_s = jnp.var(means, axis=0, ddof=1)  # [P]
     var_plus = (s - 1.0) / s * w + b_over_s
-    return jnp.sqrt(var_plus / jnp.maximum(w, 1e-300))
+    return jnp.sqrt(var_plus / jnp.maximum(w, 1e-30))
 
 
 def split_rhat(chains: jnp.ndarray) -> jnp.ndarray:
@@ -99,4 +99,4 @@ class StreamingRhat:
         w = variances.mean(axis=0)
         b_over_s = means.var(axis=0, ddof=1)
         var_plus = (n - 1.0) / n * w + b_over_s
-        return np.sqrt(var_plus / np.maximum(w, 1e-300))
+        return np.sqrt(var_plus / np.maximum(w, 1e-30))

@@ -30,6 +30,7 @@ import numpy as np
 from ..core.precision import ATYPE, LARGE_LOGL
 from .mcmc import (
     MCMCConfig,
+    make_chunk_runner,
     MR2T2,
     ChainState,
     _update_adaptive,
@@ -204,4 +205,4 @@ class DelayedMR2T2(MR2T2):
                 lambda s, _: step_fn(mdl, s), state, None, length=n_steps
             )
 
-        self._run_chunk = jax.jit(run_chunk, static_argnums=2)
+        self._run_chunk = make_chunk_runner(run_chunk, model)

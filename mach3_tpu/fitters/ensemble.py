@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.precision import ATYPE, LARGE_LOGL
+from .mcmc import make_chunk_runner
 from .model import FitModel
 
 
@@ -77,7 +78,7 @@ class EnsembleSampler:
         def run_chunk(mdl, state, keys):
             return jax.lax.scan(lambda s, k: step(mdl, s, k), state, keys)
 
-        self._run_chunk = jax.jit(run_chunk)
+        self._run_chunk = make_chunk_runner(run_chunk, model, n_static=0)
         theta0 = jnp.asarray(init_theta, ATYPE)
         nll0 = jax.jit(lambda m, t: m.total_nll_batch(t))(model, theta0)
         self._state = (theta0, nll0, jnp.zeros((n_walkers,), jnp.int32))

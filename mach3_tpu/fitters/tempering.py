@@ -35,6 +35,7 @@ from flax import struct
 
 from ..core.logging import get_logger
 from ..core.precision import ATYPE, LARGE_LOGL
+from .mcmc import make_chunk_runner
 from .model import FitModel
 
 _log = get_logger("pt")
@@ -256,7 +257,7 @@ class ParallelTempering:
 
             return jax.lax.scan(body, state, None, length=n_steps)
 
-        self._run_chunk = jax.jit(run_chunk, static_argnums=2)
+        self._run_chunk = make_chunk_runner(run_chunk, model)
 
         theta0 = jnp.asarray(tiled, ATYPE)
         prior0 = jax.jit(lambda m, t: jax.vmap(m.prior_nll)(t))(model, theta0)

@@ -99,7 +99,9 @@ def herm_eigvals(hr: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
     dr = hr - q[..., None, None] * jnp.eye(3, dtype=hr.dtype)
     # tr(H'^2) = sum |H'_ij|^2 for Hermitian H'
     p2 = (jnp.sum(dr * dr, axis=(-2, -1)) + jnp.sum(hi * hi, axis=(-2, -1))) / 6.0
-    p = jnp.sqrt(jnp.maximum(p2, 1e-300))
+    # floor inside f32 RANGE: TPU f64 is a double-float pair of f32s, so a
+    # 1e-300 literal is 0.0 there and sqrt'(0)=inf NaNs gradient samplers
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
     det = herm_det(dr, hi)
     r = det / (2.0 * p * p * p)
     # AD-safe arccos: at |r| >= 1 (degenerate eigenvalues) the composition
@@ -160,7 +162,7 @@ def newton_refined_eigvals(
     trn, c1n, detn = tr[..., None], c1[..., None], det[..., None]
     # eigenvalue-spread scale² (units λ²): tr(H'²)/6 = tr²/9 − c1/3, floored
     # to avoid 0/0 for the zero matrix
-    s2 = jnp.maximum(trn * trn / 9.0 - c1n / 3.0, 1e-300)
+    s2 = jnp.maximum(trn * trn / 9.0 - c1n / 3.0, 1e-30)  # f32-range floor (TPU f64 emulation)
     lam = jnp.sort(seeds.astype(dtype), axis=-1)
     for _ in range(2):
         pval = ((lam - trn) * lam + c1n) * lam - detn

@@ -41,28 +41,36 @@ class TestStatistic(enum.Enum):
     GAUSSIAN = "Gaussian"
 
 
-def _div_floor(num: jnp.ndarray, den: jnp.ndarray, floor: float = 1e-300) -> jnp.ndarray:
-    """``num / max(den, floor)`` made AD-safe.
+def _div_floor(num: jnp.ndarray, den: jnp.ndarray, floor: float = 1e-30) -> jnp.ndarray:
+    """``num / max(den, floor)`` made AD-safe ON TPU.
 
     The naive composition NaNs under ``jax.grad`` at ``den == 0``: the max
     picks the constant floor (derivative 0) while ``d(num/x)/dx = -num/x²``
-    overflows to -inf at x = 1e-300, and (-inf) * 0 = NaN — which poisons the
-    whole backward pass of every gradient sampler on any empty histogram bin.
+    overflows at the floor, and inf * 0 = NaN — which poisons the whole
+    backward pass of every gradient sampler on any empty histogram bin.
     Where-SELECTING the branch keeps values identical and gives the floored
-    branch an exactly-zero den-derivative (the correct one-sided limit)."""
+    branch an exactly-zero den-derivative (the correct one-sided limit).
+
+    The floor MUST stay inside float32 RANGE and the fallback branch MUST be
+    a multiplication: TPU float64 is emulated as a double-float pair of f32s
+    with f32 exponent range, so a 1e-300 literal silently becomes 0.0 and
+    ``num / floor`` becomes inf — whose where-masked cotangent is 0 · inf =
+    NaN. This NaN'd every test-statistic gradient on real TPU hardware while
+    passing bit-identically on CPU (true f64)."""
     ok = den > floor
-    return jnp.where(ok, num / jnp.where(ok, den, 1.0), num / floor)
+    return jnp.where(ok, num / jnp.where(ok, den, 1.0), num * (1.0 / floor))
 
 
-def _safe_sqrt(x: jnp.ndarray, floor: float = 1e-300) -> jnp.ndarray:
-    """sqrt with a zero derivative at x <= floor (sqrt'(0) = inf under AD)."""
+def _safe_sqrt(x: jnp.ndarray, floor: float = 1e-30) -> jnp.ndarray:
+    """sqrt with a zero derivative at x <= floor (sqrt'(0) = inf under AD).
+    Floor inside f32 range — see :func:`_div_floor` on TPU f64 emulation."""
     ok = x > floor
     return jnp.where(ok, jnp.sqrt(jnp.where(ok, x, 1.0)), 0.0)
 
 
 def _safe_log_ratio(data: jnp.ndarray, mc: jnp.ndarray) -> jnp.ndarray:
     """data * log(data/mc), with the data==0 limit -> 0 and mc guarded."""
-    tiny = jnp.asarray(1e-300, ATYPE)
+    tiny = jnp.asarray(1e-30, ATYPE)
     ratio = _div_floor(jnp.maximum(data, tiny), mc)
     return jnp.where(data > 0, data * jnp.log(ratio), 0.0)
 
