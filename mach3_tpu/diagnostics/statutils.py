@@ -121,8 +121,8 @@ def kl_divergence(p: np.ndarray, q: np.ndarray) -> float:
     """KL(P||Q) of two histograms (``GetKLDivergence``)."""
     p = np.asarray(p, np.float64)
     q = np.asarray(q, np.float64)
-    p = p / max(p.sum(), 1e-300)
-    q = q / max(q.sum(), 1e-300)
+    p = p / max(p.sum(), 1e-30)
+    q = q / max(q.sum(), 1e-30)
     mask = p > 0
     return float(np.sum(p[mask] * np.log(p[mask] / np.maximum(q[mask], 1e-300))))
 

@@ -100,7 +100,7 @@ def herm_eigvals(hr: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
     # tr(H'^2) = sum |H'_ij|^2 for Hermitian H'
     p2 = (jnp.sum(dr * dr, axis=(-2, -1)) + jnp.sum(hi * hi, axis=(-2, -1))) / 6.0
     # floor inside f32 RANGE: TPU f64 is a double-float pair of f32s, so a
-    # 1e-300 literal is 0.0 there and sqrt'(0)=inf NaNs gradient samplers
+    # a tiny-exponent literal is 0.0 there and sqrt'(0)=inf NaNs gradient samplers
     p = jnp.sqrt(jnp.maximum(p2, 1e-30))
     det = herm_det(dr, hi)
     r = det / (2.0 * p * p * p)

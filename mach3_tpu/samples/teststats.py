@@ -53,7 +53,7 @@ def _div_floor(num: jnp.ndarray, den: jnp.ndarray, floor: float = 1e-30) -> jnp.
 
     The floor MUST stay inside float32 RANGE and the fallback branch MUST be
     a multiplication: TPU float64 is emulated as a double-float pair of f32s
-    with f32 exponent range, so a 1e-300 literal silently becomes 0.0 and
+    with f32 exponent range, so a tiny-exponent literal silently becomes 0.0;
     ``num / floor`` becomes inf — whose where-masked cotangent is 0 · inf =
     NaN. This NaN'd every test-statistic gradient on real TPU hardware while
     passing bit-identically on CPU (true f64)."""
@@ -141,7 +141,11 @@ def dembinski_abdelmotteleb_llh(
     beta = _div_floor(data + k, newmc + k)
     scaled = newmc * beta
     # k*beta - k + k*log(k/(k*beta)) == k*(beta - 1 - log(beta))
-    penalty = k * (beta - 1.0 - jnp.log(jnp.maximum(beta, 1e-300)))
+    # AD-safe log: beta==0 (empty bin) must not feed log(0)=-inf whose
+    # where-masked cotangent is NaN; floor inside f32 range (TPU f64
+    # emulation has f32 exponent range — see _div_floor)
+    ok_b = beta > 1e-30
+    penalty = k * (beta - 1.0 - jnp.where(ok_b, jnp.log(jnp.where(ok_b, beta, 1.0)), jnp.log(1e-30)))
     stat = jnp.where(data > 0, scaled - data + _safe_log_ratio(data, scaled), scaled)
 
     result = jnp.where(zero_mask, 0.0, stat + penalty)
@@ -157,7 +161,7 @@ def icecube_llh(data: jnp.ndarray, mc: jnp.ndarray, w2: jnp.ndarray) -> jnp.ndar
 
     b = _div_floor(mc, w2)
     a = mc * b + 1.0
-    safe_b = jnp.maximum(b, 1e-300)
+    safe_b = jnp.maximum(b, 1e-30)  # f32-range floor (TPU f64 emulation)
     stat = -(
         a * jnp.log(safe_b)
         + gammaln(data + a)

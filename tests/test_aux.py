@@ -413,3 +413,28 @@ def test_predictive_fluctuation_battery_calibrated():
     assert res_bad.p_value_rate < 0.05
     assert res_bad.p_value_fluct_pred < 0.05
     assert 0.1 < res_bad.p_value_fluct_data <= 1.0
+
+
+def test_no_sub_f32_range_literals():
+    """TPU f64 is emulated as a double-float pair of f32s with f32 EXPONENT
+    RANGE: literals like 1e-300 are silently 0.0 on device, and guarded
+    fallback divisions by them produce inf whose where-masked cotangent is
+    0*inf = NaN (r3: this NaN'd every test-statistic gradient on hardware
+    while CPU f64 was clean). Pin the rule: no device-code literal may sit
+    outside the f32 exponent range (~1e+/-38)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "mach3_tpu"
+    pat = re.compile(r"\b\d+(?:\.\d+)?[eE]-?(\d{2,3})\b")
+    offenders = []
+    for path in root.rglob("*.py"):
+        # host-side numpy diagnostics are real f64; only device (jnp) modules
+        # matter, but the blanket rule is simpler and costs nothing
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if "np." in line and "jnp." not in line:
+                continue  # pure host-side numpy line
+            for m in pat.finditer(line):
+                if int(m.group(1)) > 38:
+                    offenders.append(f"{path.relative_to(root)}:{i}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
