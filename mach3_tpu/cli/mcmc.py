@@ -94,9 +94,11 @@ def main(argv: list[str] | None = None) -> int:
     prefit_err = np.concatenate([np.asarray(ps.errors) for ps in param_sets])
     extra_meta: dict = {"prefit": prefit.tolist(), "prefit_err": prefit_err.tolist()}
 
-    def write_out(draws: dict) -> None:
+    def write_out(draws: dict, state=None) -> None:
         """Atomic chain + checkpoint write (the reference's TTree AutoSave,
-        ``Fitters/MCMCBase.cpp:119-121``)."""
+        ``Fitters/MCMCBase.cpp:119-121``). ``state``: the snapshot matching
+        ``draws`` — REQUIRED mid-run (the double-buffered run loop keeps
+        ``fitter.state`` one chunk ahead of the drained draws)."""
         if hasattr(fitter, "cold_chain"):
             draws = fitter.cold_chain(draws)
         if prefix_draws is not None:
@@ -110,7 +112,10 @@ def main(argv: list[str] | None = None) -> int:
             args.output, draws, names, config_yaml=cfg.to_yaml(),
             extra_meta=extra_meta,
         )
-        save_checkpoint(args.output + ".ckpt", fitter, names, cfg.to_yaml())
+        save_checkpoint(
+            args.output + ".ckpt", fitter, names, cfg.to_yaml(),
+            state_pytree=state,
+        )
 
     auto_save = int(cfg.get("General.MCMC.AutoSave", 500)) > 0
     collected: list[dict] = []
@@ -136,7 +141,8 @@ def main(argv: list[str] | None = None) -> int:
                 {
                     k: np.concatenate([c[k] for c in collected], axis=0)
                     for k in collected[0]
-                }
+                },
+                state=state,
             )
 
     if args.profile:

@@ -110,18 +110,28 @@ def combine_chains(paths: list[str], out_path: str, check: bool = True) -> None:
                extra_meta={"combined_from": paths})
 
 
-def save_checkpoint(path: str, fitter, names: list[str], config_yaml: str = "") -> None:
+def save_checkpoint(
+    path: str, fitter, names: list[str], config_yaml: str = "", state_pytree=None
+) -> None:
     """Persist the exact sampler state for resume (no draws).
 
     Generic over the fitter's state pytree (MR2T2 ``ChainState``, HMC/ChEES
     ``HMCState``, ...): every array leaf is stored under its tree path; PRNG
     key arrays round-trip through ``key_data``. The reference restores by
     branch name from the old chain (``FitterBase::StartFromPreviousFit``);
-    here the state IS the whole sampler."""
+    here the state IS the whole sampler.
+
+    state_pytree: the state snapshot to persist; defaults to the fitter's
+    LIVE state. Mid-run autosave callbacks MUST pass their own chunk's
+    snapshot — the double-buffered run loop has already dispatched the next
+    chunk by the time a callback fires, so ``fitter.state`` is one chunk
+    ahead of the drained draws."""
     import jax
 
+    if state_pytree is None:
+        state_pytree = fitter.state
     state = {}
-    for p, leaf in jax.tree_util.tree_leaves_with_path(fitter.state):
+    for p, leaf in jax.tree_util.tree_leaves_with_path(state_pytree):
         k = "st" + jax.tree_util.keystr(p)
         if hasattr(leaf, "dtype") and jax.dtypes.issubdtype(
             leaf.dtype, jax.dtypes.prng_key

@@ -194,8 +194,14 @@ class HMC:
                 # ChEES: one shared halton-jittered trajectory time per step.
                 jitter = _halton2(state.step)
                 traj_t = jitter * jnp.exp(state.log_traj)
+                ratio = traj_t / eps
+                # A non-finite trajectory time (e.g. a NaN gradient leaking
+                # into log_traj) must NOT reach the int32 cast: nan->int is
+                # undefined and produced a runaway dynamic-length loop that
+                # killed the TPU worker ("kernel fault", BENCH_r02 chees).
+                ratio = jnp.where(jnp.isfinite(ratio), ratio, 1.0)
                 n_shared = jnp.clip(
-                    jnp.ceil(traj_t / eps), 1, config.max_leapfrog
+                    jnp.ceil(ratio), 1, config.max_leapfrog
                 ).astype(jnp.int32)
                 n_active = jnp.full((c,), 1, jnp.int32) * n_shared
                 n_max = n_shared
@@ -401,14 +407,23 @@ class HMC:
         n_steps = n_steps or self.config.n_steps
         outs = []
         done = 0
+        pending = None  # double-buffered fetch; see MR2T2.run
+
+        def drain(pend):
+            done_p, state_p, out_p = pend
+            host = {k: np.asarray(v) for k, v in out_p.items()}
+            outs.append(host)
+            if callback is not None:
+                callback(done_p, state_p, host)
+
         while done < n_steps:
             n = min(self.config.chunk_size, n_steps - done)
             self.state, out = self._run_chunk(self.model, self.state, n)
-            host = {k: np.asarray(v) for k, v in out.items()}
-            outs.append(host)
             done += n
-            if callback is not None:
-                callback(done, self.state, host)
+            if pending is not None:
+                drain(pending)
+            pending = (done, self.state, out)
+        drain(pending)
         return {k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
 
     @property

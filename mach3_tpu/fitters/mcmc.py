@@ -512,23 +512,39 @@ class MR2T2:
         """Run the chain; returns host-side arrays
         theta [S, C, P], nll [S, C], acc_prob [S, C], accepted [S, C],
         step_time [S] (per-step wall seconds, the reference's ``stepTime``
-        branch, ``Fitters/FitterBase.h:140-142``)."""
+        branch, ``Fitters/FitterBase.h:140-142``).
+
+        Double-buffered chain fetch: chunk k+1 is DISPATCHED before chunk
+        k's outputs are converted to host, so the device->host transfer of
+        the draws (expensive over the remote-TPU tunnel: ~2.9 of 5.8
+        ms/step measured on the 256-chain toy) overlaps the next chunk's
+        compute. Results and callback semantics are unchanged — each
+        callback still sees its own chunk's host draws (one dispatch behind
+        the device)."""
         import time
 
         n_steps = n_steps or self.config.n_steps
         chunks: list[dict[str, np.ndarray]] = []
         done = 0
+        pending: tuple | None = None  # (done, state, out, t0, n)
+
+        def drain(pend):
+            done_p, state_p, out_p, t0_p, n_p = pend
+            host = {k: np.asarray(v) for k, v in out_p.items()}
+            host["step_time"] = np.full(n_p, (time.perf_counter() - t0_p) / n_p)
+            chunks.append(host)
+            if callback is not None:
+                callback(done_p, state_p, host)
+
         while done < n_steps:
             n = min(self.config.chunk_size, n_steps - done)
             t0 = time.perf_counter()
             self.state, out = self._run_chunk(self.model, self.state, n)
-            host = {k: np.asarray(v) for k, v in out.items()}
-            per_step = (time.perf_counter() - t0) / n
-            host["step_time"] = np.full(n, per_step)
-            chunks.append(host)
             done += n
-            if callback is not None:
-                callback(done, self.state, host)
+            if pending is not None:
+                drain(pending)
+            pending = (done, self.state, out, t0, n)
+        drain(pending)
         return {k: np.concatenate([c[k] for c in chunks], axis=0) for k in chunks[0]}
 
     def online_rhat(self, recent: dict[str, np.ndarray]) -> np.ndarray:

@@ -295,16 +295,25 @@ class ParallelTempering:
         n_steps = n_steps or self.config.n_steps
         chunks: list[dict[str, np.ndarray]] = []
         done = 0
+        pending = None  # double-buffered fetch; see MR2T2.run
+
+        def drain(pend):
+            done_p, state_p, out_p, t0_p, n_p = pend
+            host = {k: np.asarray(v) for k, v in out_p.items()}
+            host["step_time"] = np.full(n_p, (time.perf_counter() - t0_p) / n_p)
+            chunks.append(host)
+            if callback is not None:
+                callback(done_p, state_p, host)
+
         while done < n_steps:
             n = min(self.config.chunk_size, n_steps - done)
             t0 = time.perf_counter()
             self.state, out = self._run_chunk(self.model, self.state, n)
-            host = {k: np.asarray(v) for k, v in out.items()}
-            host["step_time"] = np.full(n, (time.perf_counter() - t0) / n)
-            chunks.append(host)
             done += n
-            if callback is not None:
-                callback(done, self.state, host)
+            if pending is not None:
+                drain(pending)
+            pending = (done, self.state, out, t0, n)
+        drain(pending)
         return {k: np.concatenate([c[k] for c in chunks], axis=0) for k in chunks[0]}
 
     def log_evidence(
