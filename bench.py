@@ -435,25 +435,67 @@ def main() -> None:
                     "diff_fwd_over_fused": round(fwd / fused, 2),
                     "grad_over_fused": round(grad / fused, 2),
                 }
-                try:
-                    grad_x = scan_time(
-                        jax, jnp,
-                        lambda m, t: jax.grad(lambda tt: jnp.sum(_lp_xla(m, tt)))(t),
-                        exp.model, th_g, iters=3,
-                    )
-                    extras["hmc_large_grad_budget"]["xla_grad_ms"] = round(
-                        1e3 * grad_x, 2
-                    )
-                    extras["hmc_large_grad_budget"]["fused_grad_speedup"] = (
-                        round(grad_x / grad, 2)
-                    )
-                except Exception as exc:  # pragma: no cover
-                    extras["hmc_large_grad_budget"]["xla_grad_error"] = (
-                        str(exc)[:200]
-                    )
+                # The pure-XLA-grad baseline costs ~15 min of (uncacheable
+                # remote) compile for a number that is stable run to run;
+                # measured r3: 263.12 ms vs 84.18 fused (3.13x speedup,
+                # docs/ROOFLINE.md). Re-measure with MACH3_BENCH_XLA_GRAD=1.
+                if os.environ.get("MACH3_BENCH_XLA_GRAD", "0") == "1":
+                    try:
+                        grad_x = scan_time(
+                            jax, jnp,
+                            lambda m, t: jax.grad(lambda tt: jnp.sum(_lp_xla(m, tt)))(t),
+                            exp.model, th_g, iters=3,
+                        )
+                        extras["hmc_large_grad_budget"]["xla_grad_ms"] = round(
+                            1e3 * grad_x, 2
+                        )
+                        extras["hmc_large_grad_budget"]["fused_grad_speedup"] = (
+                            round(grad_x / grad, 2)
+                        )
+                    except Exception as exc:  # pragma: no cover
+                        extras["hmc_large_grad_budget"]["xla_grad_error"] = (
+                            str(exc)[:200]
+                        )
+                else:
+                    extras["hmc_large_grad_budget"]["xla_grad_ms_r3_reference"] = 263.12
                 t = stage("large grad budget", t)
+
+                # ChEES-HMC SAMPLER at reference scale — the capability the
+                # reference cannot have, at the scale that matters. Short
+                # measurement window; ESS/hour is the comparable north-star.
+                hl = HMC(
+                    exp.model,
+                    HMCConfig(
+                        step_size=0.02, adapt_steps=60, adapt_trajectory=True,
+                        max_leapfrog=16, chunk_size=20,
+                    ),
+                    np.asarray(th_g),
+                    seed=8,
+                )
+                hl.run(n_steps=80)  # compile + warm-up + adaptation
+                n_hl = 60
+                t0 = time.perf_counter()
+                out_hl = hl.run(n_steps=n_hl)
+                jax.block_until_ready(hl.state.theta)
+                dt_hl = time.perf_counter() - t0
+                mn, md = _pooled_ess(jax, jnp, np, out_hl["theta"])
+                extras["chees_hmc_large"] = {
+                    "chains": c_g,
+                    "steps_per_sec": round(n_hl * c_g / dt_hl, 1),
+                    "acceptance": round(float(hl.acceptance_rate.mean()), 3),
+                    "ess_per_hour": {
+                        "min": round(mn / (dt_hl / 3600.0), 1),
+                        "median": round(md / (dt_hl / 3600.0), 1),
+                    },
+                }
+                t = stage("chees-hmc large", t)
             except Exception as exc:  # pragma: no cover
-                extras["hmc_large_grad_budget"] = {"error": str(exc)[:300]}
+                key = (
+                    "chees_hmc_large"
+                    if "hmc_large_grad_budget" in extras
+                    else "hmc_large_grad_budget"
+                )
+                extras[key] = {"error": str(exc)[:300]}
 
     print(
         json.dumps(
