@@ -94,11 +94,13 @@ def main(argv: list[str] | None = None) -> int:
     prefit_err = np.concatenate([np.asarray(ps.errors) for ps in param_sets])
     extra_meta: dict = {"prefit": prefit.tolist(), "prefit_err": prefit_err.tolist()}
 
-    def write_out(draws: dict, state=None) -> None:
+    def write_out(draws: dict, state) -> None:
         """Atomic chain + checkpoint write (the reference's TTree AutoSave,
         ``Fitters/MCMCBase.cpp:119-121``). ``state``: the snapshot matching
-        ``draws`` — REQUIRED mid-run (the double-buffered run loop keeps
-        ``fitter.state`` one chunk ahead of the drained draws)."""
+        ``draws`` — required (no default) because the double-buffered run
+        loop keeps ``fitter.state`` one chunk ahead of the drained draws; a
+        caller that omitted it would silently checkpoint a state ahead of
+        the saved chain and break resume consistency."""
         if hasattr(fitter, "cold_chain"):
             draws = fitter.cold_chain(draws)
         if prefix_draws is not None:
@@ -164,7 +166,7 @@ def main(argv: list[str] | None = None) -> int:
         logz = fitter.log_evidence(out)
         extra_meta["log_evidence"] = logz
         log.info("log evidence (stepping-stone, normalised prior): %.4f", logz)
-    write_out(out)
+    write_out(out, state=fitter.state)
     log.info("Wrote %s (+.ckpt)", args.output)
     return 0
 

@@ -405,6 +405,8 @@ class HMC:
 
     def run(self, n_steps: int | None = None, callback=None) -> dict[str, np.ndarray]:
         n_steps = n_steps or self.config.n_steps
+        if n_steps <= 0:
+            return {}
         outs = []
         done = 0
         pending = None  # double-buffered fetch; see MR2T2.run

@@ -65,7 +65,24 @@ def make_chunk_runner(run_chunk, model, n_static: int = 1):
             lambda state, *sargs: run_chunk(model, state, *sargs),
             static_argnums=statics,
         )
-        return lambda _mdl, state, *sargs: inner(state, *sargs)
+        baked_leaves = jax.tree_util.tree_leaves(model)
+        baked_ids = tuple(id(x) for x in baked_leaves)
+
+        def call_baked(mdl, state, *sargs):
+            # The baked executable ignores the call-time model: refuse a
+            # swapped model loudly instead of silently using the stale bake.
+            lv = jax.tree_util.tree_leaves(mdl)
+            if tuple(id(x) for x in lv) != baked_ids:
+                raise ValueError(
+                    "this chunk runner baked its model into the compiled "
+                    "program at construction; a different model pytree was "
+                    "passed at call time. Rebuild the fitter for the new "
+                    "model, or set MACH3_BAKE_LIMIT_MB=0 to pass models as "
+                    "traced arguments."
+                )
+            return inner(state, *sargs)
+
+        return call_baked
     return jax.jit(run_chunk, static_argnums=tuple(s + 1 for s in statics))
 
 
@@ -524,6 +541,8 @@ class MR2T2:
         import time
 
         n_steps = n_steps or self.config.n_steps
+        if n_steps <= 0:
+            return {}
         chunks: list[dict[str, np.ndarray]] = []
         done = 0
         pending: tuple | None = None  # (done, state, out, t0, n)

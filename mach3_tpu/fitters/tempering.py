@@ -293,6 +293,8 @@ class ParallelTempering:
         import time
 
         n_steps = n_steps or self.config.n_steps
+        if n_steps <= 0:
+            return {}
         chunks: list[dict[str, np.ndarray]] = []
         done = 0
         pending = None  # double-buffered fetch; see MR2T2.run

@@ -558,13 +558,41 @@ class SampleModel:
         per_bin = stat_fn(self.data[None, :], mc.astype(ATYPE), w2.astype(ATYPE))
         return jnp.sum(per_bin, axis=1)
 
+    @staticmethod
+    def _diff_shared_event_tile(
+        n_bins: int, chain_tile: int, event_tile: int, p_tile: int, k4: int,
+        budget_bytes: int = 12 * 2**20,
+    ) -> int | None:
+        """Largest event tile (<= event_tile, >= 256) whose backward pass A
+        fits scoped VMEM (~16 MB; 12 MB budget leaves Mosaic headroom), or
+        None when even 256 does not fit (-> XLA fallback). Pass A holds an
+        in-kernel one-hot [BP, ET], the [CT, BP] cotangent blocks, the
+        [PT, K4, ET] coefficient tile, and ~10 [CT, ET] f32 fields; with the
+        unrouted default ET=4096 the one-hot alone exceeds VMEM from
+        n_bins ~ 900 (advisor r3, medium)."""
+        bp = -(-(n_bins + 1) // 128) * 128
+        et = event_tile
+        while et >= 256:
+            words = (
+                bp * et                      # in-kernel one-hot [BP, ET]
+                + 2 * chain_tile * bp        # gmc/gw2 cotangent blocks
+                + 2 * p_tile * k4 * et       # coeff tile (+ transpose in B)
+                + chain_tile * p_tile * k4   # selector block
+                + 10 * chain_tile * et       # base/bins/outputs/scratch/G
+            )
+            if words * 4 <= budget_bytes:
+                return et
+            et //= 2
+        return None
+
     def _diff_route(self) -> tuple | None:
         """(kind, static) for the fused differentiable path, or None for the
         XLA fallback. Shared-bins samples use the route's tiles (any P via
-        param blocking); shifted-route samples use the in-kernel-binning
-        forward (any P) with the mask-loop backward gather; other
-        per-chain-bins samples qualify only when small enough for the
-        unblocked generic kernel."""
+        param blocking), with the event tile shrunk — or the route refused —
+        when the backward's bin-proportional VMEM footprint would not fit;
+        shifted-route samples use the in-kernel-binning forward (any P) with
+        the mask-loop backward gather; other per-chain-bins samples qualify
+        only when small enough for the unblocked generic kernel."""
         from ..splines.pallas_grad import MAX_PERCHAIN_BINS
 
         if not (self.use_pallas and isinstance(self.spline_table, DenseSplineTable)):
@@ -572,13 +600,16 @@ class SampleModel:
         kr = self.kernel_route
         routed = kr is not None and kr.use_pallas
         if self.static_bins is not None:
-            return "shared", (
-                self.n_bins,
-                kr.chain_tile if routed else 64,
-                kr.event_tile if routed else 4096,
-                kr.param_tile if routed else None,
-                True,
-            )
+            ct = kr.chain_tile if routed else 64
+            et0 = kr.event_tile if routed else 4096
+            pt = kr.param_tile if routed else None
+            n_params = self.spline_table.coeffs.shape[0]
+            k4 = self.spline_table.coeffs.shape[1] * self.spline_table.coeffs.shape[2]
+            eff_pt = pt if (pt is not None and pt < n_params) else n_params
+            et = self._diff_shared_event_tile(self.n_bins, ct, et0, eff_pt, k4)
+            if et is None:
+                return None
+            return "shared", (self.n_bins, ct, et, pt, True)
         if self.kernel_shift is not None and self.n_bins <= MAX_PERCHAIN_BINS:
             fn, _, edges, stride_j, n_axis_j = self.kernel_shift
             return "shifted", (

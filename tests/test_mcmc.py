@@ -228,3 +228,28 @@ def test_adaption_blocks_zero_cross_block_covariance():
 
     with np.testing.assert_raises(ValueError):
         adaption_block_mask(4, ((0, 9),))
+
+
+def test_run_zero_steps_returns_empty():
+    """A non-positive resolved step count must not crash in the
+    double-buffered drain (advisor r3: drain(None) raised TypeError): run()
+    returns an empty dict and leaves the state untouched. (n_steps=0 at the
+    CALL means 'use config.n_steps'.)"""
+    m, _ = _prior_only_model([_gauss_param("a", 0.0, 1.0)])
+    f = MR2T2(m, MCMCConfig(n_steps=0, chunk_size=5), np.zeros((4, 1)), seed=0)
+    assert f.run() == {}
+    assert f.run(n_steps=-3) == {}
+    assert int(f.state.step) == 0
+
+
+def test_baked_chunk_runner_rejects_swapped_model():
+    """The baked fast path ignores the call-time model; passing a different
+    model pytree must raise instead of silently using the stale bake."""
+    from mach3_tpu.fitters.mcmc import make_chunk_runner
+
+    m, _ = _prior_only_model([_gauss_param("a", 0.0, 1.0)])
+    m2, _ = _prior_only_model([_gauss_param("a", 0.5, 2.0)])
+    runner = make_chunk_runner(lambda mdl, s, n: s, m)
+    runner(m, jnp.zeros(3), 1)  # construction-time model: fine
+    with pytest.raises(ValueError, match="baked"):
+        runner(m2, jnp.zeros(3), 1)

@@ -299,3 +299,25 @@ def test_model_posterior_batch_uses_diff_path(interp):
     g_l = np.asarray(jax.vmap(jax.grad(toy.model.log_posterior))(thetas))
     assert np.all(np.isfinite(g_b))
     np.testing.assert_allclose(g_b, g_l, rtol=5e-4, atol=5e-4)
+
+
+def test_diff_shared_event_tile_vmem_guard():
+    """Advisor r3 (medium): the shared-bins backward's in-kernel one-hot is
+    [BP, ET] — the event tile must shrink as the bin count grows, and the
+    route must be refused outright when even ET=256 cannot fit."""
+    from mach3_tpu.samples.sample import SampleModel
+
+    f = SampleModel._diff_shared_event_tile
+    # Small bins with the routed large-fixture tiles: the tile stands.
+    assert f(30, 64, 1024, 8, 20) == 1024
+    # The proven-on-hardware config (atmo: 1000 bins, CT=64, ET=1024) stands.
+    assert f(1000, 64, 1024, 8, 20) == 1024
+    # ~1000 bins at the unrouted default ET=4096: one-hot alone is
+    # 1152*4096*4 = 18 MB -> must shrink.
+    et = f(1000, 64, 4096, 8, 20)
+    assert et is not None and et < 4096
+    bp = -(-(1000 + 1) // 128) * 128
+    assert (bp * et + 2 * 64 * bp + 2 * 8 * 20 * et + 64 * 8 * 20
+            + 10 * 64 * et) * 4 <= 12 * 2**20
+    # Absurd bin counts: refuse (XLA fallback).
+    assert f(200_000, 64, 4096, 8, 20) is None
