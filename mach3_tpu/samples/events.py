@@ -310,8 +310,25 @@ def build_sample_model(
     # Map pad (-1) to the unit slot (= n_total_params, appended 1.0).
     norm_idx = np.where(norm_idx < 0, n_total_params, norm_idx)
 
+    # Compress the extended-vector axis to the norm parameters that actually
+    # match THIS sample (NA of NP; spline/func/osc params never appear in
+    # norm_idx, and norms are usually sample-filtered). The [*, NP+1] norm
+    # structures become [*, NA+1]; ``norm_applied`` records the global
+    # indices for the per-chain take. At the 700-parameter envelope this is
+    # the difference between a ~3 GB [NP+1, E] match matrix per sample and
+    # a ~20 MB one — and it shrinks the log-matmul K dimension to match.
+    applied = np.unique(norm_idx)
+    applied = applied[applied < n_total_params]
+    norm_applied = None
+    if len(applied) + 1 < n_total_params + 1:
+        remap = np.full(n_total_params + 1, len(applied), np.int64)
+        remap[applied] = np.arange(len(applied))
+        norm_idx = remap[norm_idx]
+        norm_applied = jnp.asarray(applied, ITYPE)
+    na1 = (len(applied) + 1) if norm_applied is not None else n_total_params + 1
+
     # One-hot form for the MXU path (see SampleModel.norm_onehot) when the
-    # dense [E*W, NP+1] matrix is cheap; the match-count matrix S [NP+1, E]
+    # dense [E*W, NA+1] matrix is cheap; the match-count matrix S [NA+1, E]
     # (in-kernel + XLA log-matmul product) whenever IT is cheap. At reference
     # scale (500k+ events, 100+ params) the one-hot would be ~0.5 GB of HBM
     # read per step while S stays ~100 MB read ONCE for all chains — so the
@@ -319,14 +336,13 @@ def build_sample_model(
     # fallback is a measured catastrophe on TPU: select-expansion chains).
     norm_onehot = None
     norm_s = None
-    npp1 = n_total_params + 1
-    if npp1 <= 128 and events.n_events * norm_idx.shape[1] * npp1 * 4 <= 128 << 20:
+    if na1 <= 128 and events.n_events * norm_idx.shape[1] * na1 * 4 <= 128 << 20:
         flat = norm_idx.reshape(-1)
-        oh = np.zeros((len(flat), npp1), np.float32)
+        oh = np.zeros((len(flat), na1), np.float32)
         oh[np.arange(len(flat)), flat] = 1.0
         norm_onehot = jnp.asarray(oh)
-    if npp1 * events.n_events * 4 <= 512 << 20:
-        s = np.zeros((npp1, events.n_events), np.float32)
+    if na1 * events.n_events * 4 <= 512 << 20:
+        s = np.zeros((na1, events.n_events), np.float32)
         for w_col in range(norm_idx.shape[1]):
             np.add.at(s, (norm_idx[:, w_col], np.arange(events.n_events)), 1.0)
         norm_s = jnp.asarray(s)
@@ -390,7 +406,7 @@ def build_sample_model(
         spline_table,
         has_static_bins=static_bins is not None,
         has_kernel_shift=kernel_shift is not None,
-        n_norm_in_kernel=(n_total_params + 1)
+        n_norm_in_kernel=na1
         if (norm_s is not None and (kernel_shift is not None or static_bins is not None))
         else 0,
         requested=use_pallas,
@@ -403,6 +419,7 @@ def build_sample_model(
         norm_idx=jnp.asarray(norm_idx, ITYPE),
         norm_onehot=norm_onehot,
         norm_s=norm_s,
+        norm_applied=norm_applied,
         binning=binning,
         data=jnp.asarray(data, ATYPE),
         spline_table=spline_table,

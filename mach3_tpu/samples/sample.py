@@ -248,17 +248,21 @@ class SampleModel:
     name: str = struct.field(pytree_node=False)
     kin: jnp.ndarray  # [V, E] f32 kinematic variables
     mc_weight: jnp.ndarray  # [E] f32 nominal MC weight
-    norm_idx: jnp.ndarray  # [E, Wn] i32 into extended parameter vector
+    norm_idx: jnp.ndarray  # [E, Wn] i32 into the (compressed) extended vector
     binning: SampleBinning | NonUniformBinning
     data: jnp.ndarray  # [B] f64 observed histogram
-    # One-hot form of norm_idx ([E*Wn, NP+1] f32) when NP is small: gathering
+    # One-hot form of norm_idx ([E*Wn, NA+1] f32) when NA is small: gathering
     # from a tiny parameter vector lowers to a catastrophic select-expansion
     # on TPU (measured 12.5 GB/step); as a one-hot matmul it is one MXU
     # product with the indices baked in. None -> use the gather.
     norm_onehot: jnp.ndarray | None = None
-    # Match-count matrix [NP+1, E] f32 (S[np, e] = #slots of event e matched
-    # to param np) for the in-kernel log-matmul norm product.
+    # Match-count matrix [NA+1, E] f32 (S[na, e] = #slots of event e matched
+    # to applied-param na) for the in-kernel log-matmul norm product.
     norm_s: jnp.ndarray | None = None
+    # Global parameter indices of the NA norm params that match this sample
+    # ([NA] i32); the norm structures above index the COMPRESSED extended
+    # vector theta[norm_applied] ++ [1.0]. None -> no compression (all NP).
+    norm_applied: jnp.ndarray | None = None
     spline_table: DenseSplineTable | SparseSplineTable | None = None
     # Linear functional responses (the reference's TF1_red splines evaluated
     # by EvalOnGPU_TF1); multiplied into the same per-event weight product.
@@ -297,14 +301,30 @@ class SampleModel:
         return self.binning.n_bins
 
     # ------------------------------------------------------------ weights
+    def _norm_ext(self, params: jnp.ndarray) -> jnp.ndarray:
+        """Extended norm-parameter vector [NA+1]: the sample's applied norm
+        params (compressed; tiny static take) plus the literal 1.0 unit
+        slot that the padding index multiplies by."""
+        if self.norm_applied is not None:
+            params = jnp.take(params, self.norm_applied)
+        return jnp.concatenate([params.astype(FTYPE), jnp.ones((1,), FTYPE)])
+
+    def _norm_ext_batch(self, thetas: jnp.ndarray) -> jnp.ndarray:
+        """[C, NP] -> [C, NA+1] extended norm values for the in-kernel path."""
+        t = thetas
+        if self.norm_applied is not None:
+            t = jnp.take(t, self.norm_applied, axis=1)
+        ones = jnp.ones((t.shape[0], 1), FTYPE)
+        return jnp.concatenate([t.astype(FTYPE), ones], axis=1)
+
     def _norm_weights(self, params: jnp.ndarray) -> jnp.ndarray:
         """Product of applicable normalisation parameters per event.
 
-        The extended vector appends a literal 1.0 so the padding index NP
+        The extended vector appends a literal 1.0 so the padding index NA
         multiplies by unity (replaces the reference's per-event
         ``norm_pointers`` vector-of-pointers product, ``FillArray_MP``).
         """
-        ext = jnp.concatenate([params.astype(FTYPE), jnp.ones((1,), FTYPE)])
+        ext = self._norm_ext(params)
         if self.norm_onehot is not None:
             vals = (self.norm_onehot @ ext).reshape(self.norm_idx.shape)
             return jnp.prod(vals, axis=1)
@@ -473,11 +493,8 @@ class SampleModel:
                 tiles["param_tile"] = self.kernel_route.param_tile
             norm_kwargs = {}
             if norm_in_kernel:
-                ones = jnp.ones((thetas.shape[0], 1), FTYPE)
                 norm_kwargs = dict(
-                    norm_ext=jnp.concatenate(
-                        [thetas.astype(FTYPE), ones], axis=1
-                    ),
+                    norm_ext=self._norm_ext_batch(thetas),
                     norm_s=self.norm_s,
                 )
             return fused_reweight_histogram_shared(
@@ -492,11 +509,8 @@ class SampleModel:
             fn, param_index, edges, stride_j, n_axis_j = self.kernel_shift
             norm_kwargs = {}
             if norm_in_kernel:
-                ones = jnp.ones((thetas.shape[0], 1), FTYPE)
                 norm_kwargs = dict(
-                    norm_ext=jnp.concatenate(
-                        [thetas.astype(FTYPE), ones], axis=1
-                    ),
+                    norm_ext=self._norm_ext_batch(thetas),
                     norm_s=self.norm_s,
                 )
             return fused_reweight_histogram_shifted(
