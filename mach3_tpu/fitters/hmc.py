@@ -403,7 +403,9 @@ class HMC:
             traj_v=jnp.asarray(0.0, ATYPE),
         )
 
-    def run(self, n_steps: int | None = None, callback=None) -> dict[str, np.ndarray]:
+    def run(
+        self, n_steps: int | None = None, callback=None, collect: bool = True
+    ) -> dict[str, np.ndarray]:
         n_steps = n_steps or self.config.n_steps
         if n_steps <= 0:
             return {}
@@ -414,7 +416,8 @@ class HMC:
         def drain(pend):
             done_p, state_p, out_p = pend
             host = {k: np.asarray(v) for k, v in out_p.items()}
-            outs.append(host)
+            if collect:
+                outs.append(host)
             if callback is not None:
                 callback(done_p, state_p, host)
 
@@ -426,6 +429,8 @@ class HMC:
                 drain(pending)
             pending = (done, self.state, out)
         drain(pending)
+        if not collect:
+            return {}
         return {k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
 
     @property

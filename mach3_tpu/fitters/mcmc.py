@@ -525,7 +525,9 @@ class MR2T2:
             at += b.shape[0]
         return cov
 
-    def run(self, n_steps: int | None = None, callback=None) -> dict[str, np.ndarray]:
+    def run(
+        self, n_steps: int | None = None, callback=None, collect: bool = True
+    ) -> dict[str, np.ndarray]:
         """Run the chain; returns host-side arrays
         theta [S, C, P], nll [S, C], acc_prob [S, C], accepted [S, C],
         step_time [S] (per-step wall seconds, the reference's ``stepTime``
@@ -537,7 +539,12 @@ class MR2T2:
         ms/step measured on the 256-chain toy) overlaps the next chunk's
         compute. Results and callback semantics are unchanged — each
         callback still sees its own chunk's host draws (one dispatch behind
-        the device)."""
+        the device).
+
+        collect=False: STREAMING mode (the reference's TTree role,
+        ``FitterBase.cpp:153-205``) — chunks are handed to ``callback``
+        only and dropped; nothing accumulates in host RAM and run()
+        returns {}. Pair with ``diagnostics.chain_io.ChainShardWriter``."""
         import time
 
         n_steps = n_steps or self.config.n_steps
@@ -551,7 +558,8 @@ class MR2T2:
             done_p, state_p, out_p, t0_p, n_p = pend
             host = {k: np.asarray(v) for k, v in out_p.items()}
             host["step_time"] = np.full(n_p, (time.perf_counter() - t0_p) / n_p)
-            chunks.append(host)
+            if collect:
+                chunks.append(host)
             if callback is not None:
                 callback(done_p, state_p, host)
 
@@ -564,6 +572,8 @@ class MR2T2:
                 drain(pending)
             pending = (done, self.state, out, t0, n)
         drain(pending)
+        if not collect:
+            return {}
         return {k: np.concatenate([c[k] for c in chunks], axis=0) for k in chunks[0]}
 
     def online_rhat(self, recent: dict[str, np.ndarray]) -> np.ndarray:

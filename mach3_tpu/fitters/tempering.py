@@ -286,10 +286,13 @@ class ParallelTempering:
             n_t, self.n_walkers, config.max_temp, config.swap_every,
         )
 
-    def run(self, n_steps: int | None = None, callback=None) -> dict[str, np.ndarray]:
+    def run(
+        self, n_steps: int | None = None, callback=None, collect: bool = True
+    ) -> dict[str, np.ndarray]:
         """Run; returns theta [S, T*W, P] (level-major), nll, acc_prob,
         accepted, step_time — same keys as MR2T2 so chain IO / diagnostics
-        apply unchanged."""
+        apply unchanged. collect=False streams chunks to the callback only
+        (see MR2T2.run)."""
         import time
 
         n_steps = n_steps or self.config.n_steps
@@ -303,7 +306,8 @@ class ParallelTempering:
             done_p, state_p, out_p, t0_p, n_p = pend
             host = {k: np.asarray(v) for k, v in out_p.items()}
             host["step_time"] = np.full(n_p, (time.perf_counter() - t0_p) / n_p)
-            chunks.append(host)
+            if collect:
+                chunks.append(host)
             if callback is not None:
                 callback(done_p, state_p, host)
 
@@ -316,6 +320,8 @@ class ParallelTempering:
                 drain(pending)
             pending = (done, self.state, out, t0, n)
         drain(pending)
+        if not collect:
+            return {}
         return {k: np.concatenate([c[k] for c in chunks], axis=0) for k in chunks[0]}
 
     def log_evidence(

@@ -186,3 +186,82 @@ def test_checkpoint_resume_hmc(tmp_path):
     assert np.allclose(
         float(np.asarray(f_ref.state.log_traj)), float(np.asarray(f_b.state.log_traj))
     )
+
+
+def test_shard_writer_streams_bounded(tmp_path):
+    """ChainShardWriter (r3 verdict #6): chunks land on disk one at a time,
+    the manifest resolves to the full chain, and the writer's resident
+    footprint is one chunk — not the whole run."""
+    from mach3_tpu.diagnostics.chain_io import ChainShardWriter, iter_chain_shards
+
+    p = str(tmp_path / "chain.npz")
+    w = ChainShardWriter(p, names=["a", "b", "c"], config_yaml="x: 1")
+    chunks = [_draws(seed=i, s=40) for i in range(5)]
+    for c in chunks:
+        w.append(c)
+    w.finalize()
+    assert len(w.parts) == 5 and w.n_steps == 200
+
+    # Bounded memory: at most one chunk resident; the disk holds all five.
+    one_chunk = sum(v.nbytes for v in chunks[0].values())
+    assert w.max_resident_bytes <= one_chunk
+    assert w.disk_bytes > 0
+
+    draws, meta, _ = load_chain(p)  # manifest resolves transparently
+    assert draws["theta"].shape == (200, 4, 3)
+    full = np.concatenate([c["theta"] for c in chunks], axis=0)
+    assert np.array_equal(draws["theta"], full)
+    assert meta["n_steps"] == 200
+
+    # Streaming read: one chunk at a time.
+    seen = list(iter_chain_shards(p))
+    assert len(seen) == 5
+    assert np.array_equal(seen[2]["nll"], chunks[2]["nll"])
+
+    # combine accepts sharded inputs (load_chain resolves them).
+    p2 = str(tmp_path / "combined.npz")
+    combine_chains([p, p], p2)
+    d2, _, _ = load_chain(p2)
+    assert d2["theta"].shape == (400, 4, 3)
+
+
+def test_shard_writer_resume_continues_numbering(tmp_path):
+    from mach3_tpu.diagnostics.chain_io import ChainShardWriter
+
+    p = str(tmp_path / "chain.npz")
+    w = ChainShardWriter(p, names=["a"])
+    w.append({"theta": np.zeros((10, 2, 1))})
+    w.finalize()
+    w2 = ChainShardWriter(p, names=["a"])  # resumed run
+    assert w2.parts == ["part-00000.npz"] and w2.n_steps == 10
+    w2.append({"theta": np.ones((7, 2, 1))})
+    w2.finalize()
+    draws, meta, _ = load_chain(p)
+    assert draws["theta"].shape == (17, 2, 1)
+    assert meta["n_steps"] == 17
+
+
+def test_run_collect_false_streams_to_callback():
+    """fitter.run(collect=False) holds nothing: callback sees every chunk,
+    the return is empty, the state still advances."""
+    import jax.numpy as jnp
+
+    from mach3_tpu.fitters.mcmc import MR2T2, MCMCConfig
+    from mach3_tpu.fitters.model import FitModel
+    from mach3_tpu.params.parameterset import ParameterSet
+
+    ps = ParameterSet.from_config(
+        {"Systematics": [{"Systematic": {
+            "Names": {"FancyName": "a"},
+            "ParameterValues": {"PreFitValue": 0.0},
+            "StepScale": {"MCMC": 1.0}, "Error": 1.0,
+            "ParameterBounds": [-50, 50], "Type": "Norm"}}]},
+        name="g",
+    )
+    model = FitModel.build([ps], [])
+    f = MR2T2(model, MCMCConfig(n_steps=100, chunk_size=25), np.zeros((4, 1)))
+    got = []
+    out = f.run(callback=lambda done, state, chunk: got.append(chunk), collect=False)
+    assert out == {}
+    assert len(got) == 4 and all(c["theta"].shape == (25, 4, 1) for c in got)
+    assert int(f.state.step) == 100
