@@ -249,3 +249,73 @@ def test_large_fixture_sharded_steps_run(large_setup):
     assert out["theta"].shape[0] == 4
     assert np.all(np.isfinite(np.asarray(out["nll"])))
     assert int(np.asarray(state2.step)) == 4
+
+
+def test_shard_map_with_pallas_kernels_interpret(monkeypatch):
+    """The shard_map + Pallas composition ACTUALLY EXECUTES (r3 verdict #7):
+    per-shard fused kernels (shared AND shifted variants) inside the
+    shard_map body, event-axis psum of their histograms afterwards —
+    interpret mode stands in for Mosaic on CPU, but BlockSpec/grid handling
+    and the collective composition are the real code path
+    (``distributed/shard_step.py:11-13``'s claim)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    from mach3_tpu.splines import pallas_reweight as pr
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    for f in (
+        pr.fused_reweight_histogram,
+        pr.fused_reweight_histogram_shared,
+        pr.fused_reweight_histogram_shifted,
+    ):
+        f.clear_cache()
+    try:
+        from mach3_tpu.tutorial.large import build_large
+
+        kwargs = dict(
+            n_numu=1500, n_nue=400, n_atmo=800, n_splines=8, e_grid_size=24,
+            atmo_e_grid_size=10, atmo_cosz_grid_size=6,
+            numu_bins=(12, 6), atmo_bins=(10, 8),
+        )
+        mesh = make_mesh(4, 2)
+        exp = build_large(use_pallas=True, **kwargs)
+        routes = [s.kernel_route.variant for s in exp.model.samples]
+        assert all(s.use_pallas for s in exp.model.samples), routes
+        assert "shared" in routes and "shifted" in routes, routes
+
+        model = prepare_model_for_shard_map(exp.model, n_event_shards=2)
+        model = shard_fit_model(mesh, model)
+        state = _init_state(model, 8)
+
+        # Parity: per-shard kernel partial histograms + psum == the XLA
+        # single-device likelihood on the same points.
+        xla_exp = build_large(use_pallas=False, **kwargs)
+        ref = np.asarray(
+            jax.jit(lambda m, t: m.total_nll_batch(t))(xla_exp.model, state.theta)
+        )
+        np.testing.assert_allclose(np.asarray(state.nll), ref, rtol=1e-5)
+
+        state = chain_state_sharding(mesh, state)
+        run = make_sharded_chunk_runner(mesh, MCMCConfig(), model, state)
+        final, out = run(model, state, 10)
+        jax.block_until_ready(final.theta)
+        assert np.isfinite(np.asarray(out["theta"])).all()
+        assert np.isfinite(np.asarray(final.nll)).all()
+        assert int(np.asarray(final.step)) == 10
+    finally:
+        for f in (
+            pr.fused_reweight_histogram,
+            pr.fused_reweight_histogram_shared,
+            pr.fused_reweight_histogram_shifted,
+        ):
+            f.clear_cache()
