@@ -118,7 +118,11 @@ def main(argv: list[str] | None = None) -> int:
         if os.path.exists(args.output) and not streaming:
             prev_draws, prev_meta, _ = load_chain(args.output)
             if prev_meta.get("names") == names:
-                prefix_draws = prev_draws
+                # Crash consistency: a SIGKILL can land after a chunk's chain
+                # write but before its checkpoint write, leaving the chain
+                # one chunk AHEAD of the resumed state. Truncate to the
+                # checkpoint's step so the resumed history has no overlap.
+                prefix_draws = {k: v[:done_steps] for k, v in prev_draws.items()}
 
     prefit = np.concatenate([np.asarray(ps.prefit) for ps in param_sets])
     prefit_err = np.concatenate([np.asarray(ps.errors) for ps in param_sets])
@@ -158,6 +162,9 @@ def main(argv: list[str] | None = None) -> int:
         writer = ChainShardWriter(
             args.output, names, config_yaml=cfg.to_yaml(), extra_meta=extra_meta
         )
+        if args.checkpoint and writer.parts:
+            # Crash consistency (see the non-streaming truncation above).
+            writer.truncate(int(np.asarray(fitter.state.step)))
         if (
             not writer.parts
             and os.path.exists(args.output)

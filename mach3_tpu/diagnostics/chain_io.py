@@ -165,6 +165,35 @@ class ChainShardWriter:
         self.n_steps += next(iter(draws.values())).shape[0]
         self.disk_bytes += os.path.getsize(os.path.join(self.shard_dir, name))
 
+    def truncate(self, n_steps: int) -> None:
+        """Drop shard steps beyond ``n_steps`` (crash consistency: a kill can
+        land after a shard write but before its checkpoint, leaving the
+        shards one chunk ahead of the resumable state)."""
+        if self.n_steps <= n_steps:
+            return
+        kept: list[str] = []
+        cum = 0
+        for p in self.parts:
+            path = os.path.join(self.shard_dir, p)
+            with np.load(path, allow_pickle=False) as f:
+                keys = [k for k in f.files if k.startswith("draw_")]
+                s = f[keys[0]].shape[0]
+                take = min(s, max(0, n_steps - cum))
+                partial = (
+                    {k: f[k][:take] for k in keys} if 0 < take < s else None
+                )
+            if take == s:
+                kept.append(p)
+            else:
+                os.remove(path)
+                if partial is not None:
+                    np.savez_compressed(path[:-4], **partial)
+                    kept.append(p)
+            cum += take
+        self.parts = kept
+        self.n_steps = cum
+        _log.info("Truncated chain shards to %d steps (%d parts)", cum, len(kept))
+
     def finalize(self, state: dict[str, np.ndarray] | None = None) -> None:
         """Write the manifest chain file referencing the shards."""
         save_chain(

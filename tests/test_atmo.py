@@ -67,6 +67,7 @@ def test_atmo_full_reweight_and_2d_binning(atmo_sample):
     assert float(mc.sum()) < ev.n_events
 
 
+@pytest.mark.slow
 def test_atmo_theta23_sensitivity(atmo_sample):
     ev, sm = atmo_sample
     mc_a, _ = jax.jit(sm.reweight)(PDG_OSC)
@@ -105,6 +106,7 @@ def test_production_height_averaging(atmo_sample):
     assert not np.allclose(p_avg, np.asarray(lo.prob_grids(PDG_OSC)[0]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_zenith_group_split_matches_full_chain(atmo_sample):
     """The static zenith partition (per-group unroll depth) must reproduce the
     full padded NL-layer chain bit-for-bit in structure: same grids, same

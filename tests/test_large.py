@@ -75,6 +75,7 @@ def test_norm_logmm_matches_onehot(large):
     np.testing.assert_allclose(np.asarray(w_lm), np.asarray(w_oh), rtol=5e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_batched_reweight_finite_and_consistent(large):
     theta0 = large.model.prefit_vector()
     rng = np.random.default_rng(1)

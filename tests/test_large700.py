@@ -6,6 +6,7 @@ counts); this exercises the full-size fixture's structure — parameter count,
 sample partition, norm-matrix compression — at test-size event counts. The
 full 1M-event version is benchmarked on hardware (bench.py "large700").
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,6 +14,7 @@ import numpy as np
 from mach3_tpu.tutorial.large import build_large700
 
 
+@pytest.mark.slow
 def test_large700_reduced_structure_and_nll():
     exp = build_large700(
         n_numu=3000, n_nue=1000, n_atmo=3000, e_grid_size=40,
@@ -50,6 +52,7 @@ def test_large700_reduced_structure_and_nll():
     assert nll[0] <= nll[1] + 1e-6 and nll[0] <= nll[2] + 1e-6
 
 
+@pytest.mark.slow
 def test_large700_gradient_path_finite():
     """The differentiable path must survive 700 params (the shared-route
     VMEM guard may reroute, but gradients stay finite and nonzero)."""

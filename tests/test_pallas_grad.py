@@ -243,6 +243,7 @@ def test_shifted_variant_grad_parity(interp):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sample_level_diff_path(interp):
     """End-to-end: SampleModel.log_likelihood_batch_diff (fused forward +
     analytic backward, per-chain-bins route on the toy's shifted samples)
@@ -272,6 +273,7 @@ def test_sample_level_diff_path(interp):
     np.testing.assert_allclose(g_d, g_x, rtol=5e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_model_posterior_batch_uses_diff_path(interp):
     """log_posterior_batch (the HMC entry point) with fused samples still
     matches vmap(log_posterior) in value and gradient."""

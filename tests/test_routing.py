@@ -102,6 +102,7 @@ def test_large_param_count_takes_blocked_kernel():
     assert not r_gen.use_pallas and "spline params" in r_gen.reason
 
 
+@pytest.mark.slow
 def test_infeasible_vmem_falls_back():
     # A pathological knot count: even one [PT, K4, ET_min] streamed block
     # exceeds the VMEM budget.

@@ -183,6 +183,7 @@ def large_setup():
     return mesh, exp, model
 
 
+@pytest.mark.slow
 def test_large_fixture_norm_paths_swap(large_setup):
     """prepare_model_for_shard_map must drop norm_onehot (its [E*W, NP+1]
     leading axis cannot split on event boundaries) and leave norm_s — and the
@@ -201,6 +202,7 @@ def test_large_fixture_norm_paths_swap(large_setup):
         np.testing.assert_allclose(w_s[: len(w_oh)], w_oh, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_large_fixture_sharded_nll_parity(large_setup):
     """NLL parity at the 101-param fixture: the shard_map step's event-axis
     psum + padded zero-weight events reproduce the unsharded likelihood."""
@@ -234,6 +236,7 @@ def test_large_fixture_sharded_nll_parity(large_setup):
     np.testing.assert_allclose(sharded, ref, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_large_fixture_sharded_steps_run(large_setup):
     """A few full sharded MCMC steps (pooled adaptation pmean + event psum +
     per-shard RNG) execute at the 101-param fixture and accept steps."""
@@ -251,6 +254,7 @@ def test_large_fixture_sharded_steps_run(large_setup):
     assert int(np.asarray(state2.step)) == 4
 
 
+@pytest.mark.slow
 def test_shard_map_with_pallas_kernels_interpret(monkeypatch):
     """The shard_map + Pallas composition ACTUALLY EXECUTES (r3 verdict #7):
     per-shard fused kernels (shared AND shifted variants) inside the

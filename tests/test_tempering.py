@@ -202,6 +202,7 @@ def _octant_init(toy, n_w, split=True):
     return init
 
 
+@pytest.mark.slow
 def test_octant_posterior_is_bimodal(octant_toy):
     """Conditional NLL profile in sin2th23: minimum near the 0.45 truth, a
     barrier at maximal mixing, and a second local minimum in the wrong
@@ -220,6 +221,7 @@ def test_octant_posterior_is_bimodal(octant_toy):
     assert nll[i_mirror] < nll[-1]  # mirror is a genuine local minimum
 
 
+@pytest.mark.slow
 def test_octant_pt_mixes_where_mr2t2_does_not(octant_toy):
     """The judge-facing demonstration: ADAPTIVE MR2T2 (production mode)
     started half-per-octant barely crosses within the run (raw R-hat stays
@@ -275,6 +277,7 @@ def test_octant_pt_mixes_where_mr2t2_does_not(octant_toy):
     assert 0.1 < cold_acc < 0.5
 
 
+@pytest.mark.slow
 def test_octant_nh_vs_ih_evidence(octant_toy):
     """NH-vs-IH Bayes factor via the BetaZero ladder: Asimov data generated
     at NH truth must give log Z(NH) > log Z(IH). The IH model is the same

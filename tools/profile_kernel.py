@@ -1,0 +1,123 @@
+"""Isolated fused-kernel timings on the large fixture with tile sweeps.
+
+The calibration run showed scan_time carries a ~25 ms per-CALL tunnel
+dispatch cost (=> +25/iters ms offset per iteration); use iters=40 and
+subtract the measured noop floor.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+if os.environ.get("JAX_PLATFORMS") and "cpu" not in os.environ["JAX_PLATFORMS"]:
+    os.environ["JAX_PLATFORMS"] = os.environ["JAX_PLATFORMS"] + ",cpu"
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/mach3_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from bench import jitter_init, scan_time  # noqa: E402
+
+ITERS = int(os.environ.get("PROF_ITERS", 40))
+
+
+def main() -> None:
+    from mach3_tpu.splines.pallas_reweight import (
+        fused_reweight_histogram_shared,
+        spline_selector,
+    )
+    from mach3_tpu.tutorial.large import build_large
+
+    c = 128
+    t0 = time.time()
+    exp = build_large(use_pallas=True, low_memory=True)
+    print(f"# build_large: {time.time()-t0:.0f}s", file=sys.stderr)
+    model = exp.model
+    rng = np.random.default_rng(0)
+    th = jnp.asarray(jitter_init(np, model, np.asarray(model.prefit_vector()), c, rng))
+    out = {"chains": c, "iters": ITERS}
+
+    def t(name, fn, mdl, *arrs, iters=ITERS):
+        ms = 1e3 * scan_time(jax, jnp, fn, mdl, *arrs, iters=iters)
+        out[name] = round(ms, 3)
+        print(f"# {name}: {ms:.3f} ms", file=sys.stderr)
+        return ms
+
+    # dispatch floor with this iters
+    t("noop", lambda m, x: x * 1.0000001, None, th)
+
+    tabs = jax.block_until_ready(
+        jax.jit(lambda m, x: m._shared_osc_tables(x))(model, th)
+    )
+    for i, s in enumerate(model.samples):
+        if s.static_bins is None:
+            continue  # kernel-only sweep for the shared-bins samples
+        tab = tabs[i]
+        # precompute kernel inputs ONCE (device-resident)
+        def mk_base(m, x, tb=tab):
+            def one(t_, cg):
+                w = m.mc_weight * m._osc_weights(t_, cg)
+                if m.tf1_table is not None:
+                    w = w * m.tf1_table.eval(t_)
+                fw = m._func_weights(t_)
+                return w if fw is None else w * fw
+            return jax.vmap(one)(x, tb)
+
+        base_w = jax.block_until_ready(jax.jit(mk_base)(s, th))
+        selector = jax.block_until_ready(
+            jax.jit(lambda m, x: spline_selector(m.spline_table, x))(s, th)
+        )
+        tbl = s.spline_table
+        coeffs = tbl.coeffs.reshape(tbl.coeffs.shape[0], -1, tbl.coeffs.shape[3])
+        ones = jnp.ones((c, 1), jnp.float32)
+        norm_ext = jnp.concatenate(
+            [jnp.take(th, s.norm_applied, axis=1).astype(jnp.float32), ones], 1
+        ) if s.norm_applied is not None else jnp.concatenate(
+            [th.astype(jnp.float32), ones], 1
+        )
+        kr = s.kernel_route
+        print(f"# {s.name}: P={coeffs.shape[0]} E={coeffs.shape[2]} "
+              f"bins={s.n_bins} route ct={kr.chain_tile} et={kr.event_tile} "
+              f"pt={kr.param_tile}", file=sys.stderr)
+        for ct, et, pt in [
+            (kr.chain_tile, kr.event_tile, kr.param_tile),  # routed
+            (128, 512, 8),
+            (128, 1024, 8),
+            (128, 2048, 8),
+            (64, 2048, 8),
+            (128, 1024, 16),
+            (128, 1024, 32),
+        ]:
+            label = f"{s.name}.kernel_ct{ct}_et{et}_pt{pt}"
+            try:
+                def k(m, sel, ct=ct, et=et, pt=pt):
+                    return fused_reweight_histogram_shared(
+                        sel, coeffs, base_w, m.static_bins, n_bins=m.n_bins,
+                        norm_ext=norm_ext, norm_s=m.norm_s,
+                        chain_tile=ct, event_tile=et, param_tile=pt,
+                    )
+                t(label, k, s, selector)
+            except Exception as exc:
+                out[label] = f"ERR {str(exc)[:120]}"
+                print(f"# {label}: ERROR {str(exc)[:200]}", file=sys.stderr)
+        # without in-kernel norm (norm cost isolation)
+        def k_nonorm(m, sel):
+            return fused_reweight_histogram_shared(
+                sel, coeffs, base_w, m.static_bins, n_bins=m.n_bins,
+                chain_tile=kr.chain_tile, event_tile=kr.event_tile,
+                param_tile=kr.param_tile,
+            )
+        t(f"{s.name}.kernel_nonorm_routed", k_nonorm, s, selector)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
