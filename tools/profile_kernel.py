@@ -1,8 +1,12 @@
-"""Isolated fused-kernel timings on the large fixture with tile sweeps.
+"""Isolated fused-kernel timings on the large fixture (incremental logging).
 
-The calibration run showed scan_time carries a ~25 ms per-CALL tunnel
-dispatch cost (=> +25/iters ms offset per iteration); use iters=40 and
-subtract the measured noop floor.
+Writes every measurement to PROF_OUT (default /tmp/profile_kernel.json) AS IT
+LANDS — a harness kill loses nothing. Each tile config is a fresh remote
+Mosaic compile (~minutes); keep the variant list short. The scan_time
+dispatch offset is reported as `noop` at the same iters — subtract it.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_kernel.py
+Env: PROF_ITERS (40), PROF_OUT, PROF_VARIANTS="ct,et,pt;ct,et,pt;..."
 """
 from __future__ import annotations
 
@@ -26,6 +30,20 @@ sys.path.insert(0, "/root/repo")
 from bench import jitter_init, scan_time  # noqa: E402
 
 ITERS = int(os.environ.get("PROF_ITERS", 40))
+OUT_PATH = os.environ.get("PROF_OUT", "/tmp/profile_kernel.json")
+VARIANTS = [
+    tuple(int(x) for x in v.split(","))
+    for v in os.environ.get("PROF_VARIANTS", "128,1024,8;128,2048,8").split(";")
+    if v
+]
+
+out: dict = {"iters": ITERS}
+
+
+def flush() -> None:
+    with open(OUT_PATH, "w") as f:
+        json.dump(out, f)
+        f.write("\n")
 
 
 def main() -> None:
@@ -38,19 +56,24 @@ def main() -> None:
     c = 128
     t0 = time.time()
     exp = build_large(use_pallas=True, low_memory=True)
-    print(f"# build_large: {time.time()-t0:.0f}s", file=sys.stderr)
+    print(f"# build_large: {time.time()-t0:.0f}s", flush=True)
     model = exp.model
     rng = np.random.default_rng(0)
     th = jnp.asarray(jitter_init(np, model, np.asarray(model.prefit_vector()), c, rng))
-    out = {"chains": c, "iters": ITERS}
+    out["chains"] = c
+    flush()
 
     def t(name, fn, mdl, *arrs, iters=ITERS):
-        ms = 1e3 * scan_time(jax, jnp, fn, mdl, *arrs, iters=iters)
-        out[name] = round(ms, 3)
-        print(f"# {name}: {ms:.3f} ms", file=sys.stderr)
-        return ms
+        t1 = time.time()
+        try:
+            ms = 1e3 * scan_time(jax, jnp, fn, mdl, *arrs, iters=iters)
+            out[name] = round(ms, 3)
+            print(f"# {name}: {ms:.3f} ms (wall {time.time()-t1:.0f}s)", flush=True)
+        except Exception as exc:
+            out[name] = f"ERR {str(exc)[:160]}"
+            print(f"# {name}: ERROR {str(exc)[:200]}", flush=True)
+        flush()
 
-    # dispatch floor with this iters
     t("noop", lambda m, x: x * 1.0000001, None, th)
 
     tabs = jax.block_until_ready(
@@ -58,9 +81,9 @@ def main() -> None:
     )
     for i, s in enumerate(model.samples):
         if s.static_bins is None:
-            continue  # kernel-only sweep for the shared-bins samples
+            continue
         tab = tabs[i]
-        # precompute kernel inputs ONCE (device-resident)
+
         def mk_base(m, x, tb=tab):
             def one(t_, cg):
                 w = m.mc_weight * m._osc_weights(t_, cg)
@@ -85,29 +108,17 @@ def main() -> None:
         kr = s.kernel_route
         print(f"# {s.name}: P={coeffs.shape[0]} E={coeffs.shape[2]} "
               f"bins={s.n_bins} route ct={kr.chain_tile} et={kr.event_tile} "
-              f"pt={kr.param_tile}", file=sys.stderr)
-        for ct, et, pt in [
-            (kr.chain_tile, kr.event_tile, kr.param_tile),  # routed
-            (128, 512, 8),
-            (128, 1024, 8),
-            (128, 2048, 8),
-            (64, 2048, 8),
-            (128, 1024, 16),
-            (128, 1024, 32),
-        ]:
-            label = f"{s.name}.kernel_ct{ct}_et{et}_pt{pt}"
-            try:
-                def k(m, sel, ct=ct, et=et, pt=pt):
-                    return fused_reweight_histogram_shared(
-                        sel, coeffs, base_w, m.static_bins, n_bins=m.n_bins,
-                        norm_ext=norm_ext, norm_s=m.norm_s,
-                        chain_tile=ct, event_tile=et, param_tile=pt,
-                    )
-                t(label, k, s, selector)
-            except Exception as exc:
-                out[label] = f"ERR {str(exc)[:120]}"
-                print(f"# {label}: ERROR {str(exc)[:200]}", file=sys.stderr)
-        # without in-kernel norm (norm cost isolation)
+              f"pt={kr.param_tile} NA1={norm_ext.shape[1]}", flush=True)
+        configs = [(kr.chain_tile, kr.event_tile, kr.param_tile)] + VARIANTS
+        for ct, et, pt in configs:
+            def k(m, sel, ct=ct, et=et, pt=pt):
+                return fused_reweight_histogram_shared(
+                    sel, coeffs, base_w, m.static_bins, n_bins=m.n_bins,
+                    norm_ext=norm_ext, norm_s=m.norm_s,
+                    chain_tile=ct, event_tile=et, param_tile=pt,
+                )
+            t(f"{s.name}.kernel_ct{ct}_et{et}_pt{pt}", k, s, selector)
+
         def k_nonorm(m, sel):
             return fused_reweight_histogram_shared(
                 sel, coeffs, base_w, m.static_bins, n_bins=m.n_bins,
@@ -116,7 +127,7 @@ def main() -> None:
             )
         t(f"{s.name}.kernel_nonorm_routed", k_nonorm, s, selector)
 
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

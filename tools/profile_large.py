@@ -36,10 +36,11 @@ def main() -> None:
     from mach3_tpu.tutorial.large import build_large
 
     c = int(os.environ.get("PROF_CHAINS", 128))
-    iters = int(os.environ.get("PROF_ITERS", 10))
+    iters = int(os.environ.get("PROF_ITERS", 40))
+    out_path = os.environ.get("PROF_OUT", "/tmp/profile_large.json")
     t0 = time.time()
     exp = build_large(use_pallas=True, low_memory=True)
-    print(f"# build_large: {time.time()-t0:.0f}s", file=sys.stderr)
+    print(f"# build_large: {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
     model = exp.model
     rng = np.random.default_rng(0)
     th = jnp.asarray(jitter_init(np, model, np.asarray(model.prefit_vector()), c, rng))
@@ -47,11 +48,20 @@ def main() -> None:
     out: dict = {"chains": c, "iters": iters}
 
     def t(name, fn, mdl, *arrs, **kw):
-        ms = 1e3 * scan_time(jax, jnp, fn, mdl, *arrs, iters=iters, **kw)
-        out[name] = round(ms, 3)
-        print(f"# {name}: {ms:.3f} ms", file=sys.stderr)
+        try:
+            ms = 1e3 * scan_time(jax, jnp, fn, mdl, *arrs, iters=iters, **kw)
+            out[name] = round(ms, 3)
+            print(f"# {name}: {ms:.3f} ms", file=sys.stderr, flush=True)
+        except Exception as exc:
+            ms = float("nan")
+            out[name] = f"ERR {str(exc)[:160]}"
+            print(f"# {name}: ERROR {str(exc)[:200]}", file=sys.stderr, flush=True)
+        with open(out_path, "w") as f:  # incremental: a kill loses nothing
+            json.dump(out, f)
         return ms
 
+    # ---- dispatch floor (subtract from everything below)
+    t("noop", lambda m, x: x * 1.0000001, None, th)
     # ---- whole things
     t("total_nll_batch", lambda m, x: m.total_nll_batch(x), model, th)
     t("prior_nll", lambda m, x: jax.vmap(m.prior_nll)(x), model, th)
