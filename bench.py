@@ -131,22 +131,28 @@ class Bench:
 
 def scan_time(jax, jnp, fn, mdl, *arrs, iters=20):
     """Per-call time of fn(mdl, *arrs) inside a lax.scan (dispatch-free). The
-    model is a jit ARGUMENT so its tables are buffers, not HLO constants
-    (the remote compile service rejects constant-laden programs); the carry
-    perturbs the first array arg so XLA cannot hoist the body."""
-    def run(m):
+    model AND every array ride as jit ARGUMENTS so their tables are buffers,
+    not HLO constants (the remote compile service rejects constant-laden
+    programs with HTTP 413); the carry perturbs the first array arg so XLA
+    cannot hoist the body.
+
+    Caveat (measured): each CALL of the compiled scan carries ~25 ms of
+    tunnel dispatch, i.e. the reported per-iteration number includes a
+    +25/iters ms offset — compare components only after subtracting a noop
+    measured at the same iters."""
+    def run(m, *arrs_):
         def body(carry, _):
-            a0 = arrs[0] + carry * 0
-            out = fn(m, a0, *arrs[1:])
+            a0 = arrs_[0] + carry * 0
+            out = fn(m, a0, *arrs_[1:])
             leaf = jax.tree_util.tree_leaves(out)[0]
             return carry + jnp.sum(leaf).astype(jnp.float32) * 1e-30, None
 
         return jax.lax.scan(body, jnp.float32(0), None, length=iters)[0]
 
     g = jax.jit(run)
-    jax.block_until_ready(g(mdl))  # compile + warm
+    jax.block_until_ready(g(mdl, *arrs))  # compile + warm
     t0 = time.perf_counter()
-    jax.block_until_ready(g(mdl))
+    jax.block_until_ready(g(mdl, *arrs))
     return (time.perf_counter() - t0) / iters
 
 

@@ -138,7 +138,18 @@ def prepare_model_for_shard_map(model: Any, n_event_shards: int = 1) -> Any:
         return jax.tree_util.tree_map_with_path(pad_leaf, s)
 
     samples = tuple(
-        pad_sample(s.replace(norm_onehot=None) if s.norm_onehot is not None else s)
+        pad_sample(
+            s.replace(
+                norm_onehot=None,
+                # The narrow-histogram tile plan is laid out for the FULL
+                # event axis; per-shard local tiling differs — fall back to
+                # the wide kernel on shards.
+                hist_tile_starts=None,
+                hist_nbl=None,
+                hist_block_plan=None,
+                hist_block_nact=None,
+            )
+        )
         for s in model.samples
     )
     return model.replace(samples=samples)

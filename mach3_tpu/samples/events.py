@@ -412,6 +412,157 @@ def build_sample_model(
         requested=use_pallas,
     )
 
+    # SORT events by static bin for the shared fused route: each event tile
+    # then spans a handful of bins and the kernel's histogram narrows from
+    # [ET, BP] to [NBL, ET] (one-hot build + MXU contraction both shrink
+    # ~BP/NBL-fold — measured the dominant kernel cost at the large
+    # fixture). Event order is irrelevant to every histogram/likelihood
+    # (sums over events); the secondary osc-index key keeps the per-event
+    # oscillation gather piecewise-monotonic for DMA locality.
+    hist_tile_starts = None
+    hist_nbl = None
+    hist_block_plan = None
+    hist_block_nact = None
+    if (
+        route.use_pallas
+        and route.variant == "shared"
+        and route.param_tile is not None
+        and static_bins is not None
+    ):
+        from ..splines.monolith import dense_table_activity
+        from ..splines.pallas_reweight import (
+            event_block_signature,
+            hist_tile_plan,
+            param_block_order,
+            param_block_plan,
+        )
+
+        # Activity pattern of the monolith (True where a param's response is
+        # not identity) drives BOTH orderings: params regrouped so blocks
+        # are activity-pure, events clustered by which blocks touch them.
+        act = dense_table_activity(spline_table)
+        pperm = param_block_order(act)
+        if not np.array_equal(pperm, np.arange(act.shape[0])):
+            act = act[pperm]
+            jpperm = jnp.asarray(pperm)
+            spline_table = spline_table.replace(
+                coeffs=jnp.take(spline_table.coeffs, jpperm, axis=0),
+                knots_x=jnp.take(spline_table.knots_x, jpperm, axis=0),
+                n_knots=jnp.take(spline_table.n_knots, jpperm, axis=0),
+                param_index=jnp.take(spline_table.param_index, jpperm, axis=0),
+            )
+
+        bins_np = np.asarray(static_bins)
+        sig = event_block_signature(act, route.param_tile)
+        osc_key = np.zeros(events.n_events, np.int64)
+        if osc is not None:
+            if hasattr(osc, "event_flat_idx"):
+                osc_key = np.asarray(osc.event_flat_idx, np.int64)
+            elif hasattr(osc, "event_grid_idx"):
+                osc_key = np.asarray(osc.event_channel, np.int64) * (
+                    int(np.asarray(osc.e_grid).shape[0])
+                ) + np.asarray(osc.event_grid_idx, np.int64)
+        order = np.lexsort((osc_key, bins_np, sig))
+        # Pad every activity-signature GROUP to a multiple of the event tile
+        # with zero-weight copies of its last event: tiles never straddle a
+        # group boundary, so each tile is activity-pure (min active blocks)
+        # AND bin-narrow (bins sorted within the group; a straddling tile
+        # would drag the static histogram window to full width).
+        et_ = route.event_tile
+        sig_sorted = sig[order]
+        cuts = np.flatnonzero(np.diff(sig_sorted)) + 1
+        pieces = np.split(order, cuts)
+        take_parts = []
+        pad_parts = []
+        for idx in pieces:
+            take_parts.append(idx)
+            pad_parts.append(np.zeros(len(idx), bool))
+            padn = -len(idx) % et_
+            if padn:
+                take_parts.append(np.full(padn, idx[-1]))
+                pad_parts.append(np.ones(padn, bool))
+        perm = np.concatenate(take_parts)
+        pad_mask = np.concatenate(pad_parts)
+        if len(pieces) > 1:
+            _log.info(
+                "%s: %d activity groups, %d pad events (%.1f%%)",
+                name, len(pieces), int(pad_mask.sum()),
+                100.0 * pad_mask.sum() / len(perm),
+            )
+        if True:
+            n_old = events.n_events
+            act = act[:, perm]
+            act[:, pad_mask] = False  # padded events are inert
+            jperm = jnp.asarray(perm)
+            kin = np.asarray(kin)[:, perm]
+            mc_w = np.asarray(events.mc_weight)[perm]
+            mc_w[pad_mask] = 0.0  # zero weight: pad events contribute nothing
+            events = EventData(
+                kinematics={k: np.asarray(v)[perm] for k, v in events.kinematics.items()},
+                mode=events.mode[perm],
+                target=events.target[perm],
+                pdg=events.pdg[perm],
+                preosc_pdg=events.preosc_pdg[perm],
+                mc_weight=mc_w,
+            )
+            norm_idx = norm_idx[perm]
+            if norm_onehot is not None:
+                w_cols = norm_idx.shape[1]
+                rows = (perm[:, None] * w_cols + np.arange(w_cols)).reshape(-1)
+                norm_onehot = norm_onehot[jnp.asarray(rows)]
+            if norm_s is not None:
+                norm_s = jnp.take(norm_s, jperm, axis=1)
+            static_bins = jnp.take(static_bins, jperm)
+            if spline_table is not None and hasattr(spline_table, "coeffs"):
+                spline_table = spline_table.replace(
+                    coeffs=jnp.take(spline_table.coeffs, jperm, axis=3)
+                )
+            if tf1_table is not None:
+                tf1_table = tf1_table.replace(
+                    slope=jnp.take(tf1_table.slope, jperm, axis=1),
+                    intercept=jnp.take(tf1_table.intercept, jperm, axis=1),
+                )
+            if osc is not None:
+                fields = {}
+                for f in ("event_grid_idx", "event_channel", "event_flat_idx", "nc_mask"):
+                    if hasattr(osc, f) and getattr(osc, f) is not None:
+                        arr = getattr(osc, f)
+                        if hasattr(arr, "shape") and arr.shape[:1] == (n_old,):
+                            fields[f] = jnp.take(arr, jperm)
+                osc = osc.replace(**fields)
+            weight_fns = tuple(
+                ws.replace(mask=jnp.take(ws.mask, jperm)) for ws in weight_fns
+            )
+        # Narrow-histogram windows and the activity block plan are
+        # independent wins; take each when it helps. A refused window
+        # (span ~ full bin axis, e.g. few bins) degrades to start=0 /
+        # nbl=BP — the planned kernel then behaves like the wide one for
+        # the histogram while still skipping inactive coefficient blocks.
+        bins_sorted = np.asarray(static_bins)
+        n_etiles = -(-events.n_events // route.event_tile)
+        bp = -(-(binning.n_bins + 1) // 128) * 128
+        plan = hist_tile_plan(bins_sorted, binning.n_bins, route.event_tile)
+        if plan is not None:
+            starts_np, hist_nbl = plan[0], int(plan[1])
+        else:
+            starts_np, hist_nbl = np.zeros(n_etiles, np.int32), bp
+        bplan, bnact = param_block_plan(
+            act, route.event_tile, route.param_tile
+        )
+        n_blocks = -(-act.shape[0] // route.param_tile)
+        if plan is not None or bplan.shape[1] < n_blocks:
+            hist_tile_starts = jnp.asarray(starts_np)
+            hist_block_plan = jnp.asarray(bplan)
+            hist_block_nact = jnp.asarray(bnact)
+            _log.info(
+                "%s: sorted fused route — hist window %d of %d bins, "
+                "active blocks/tile %.2f of %d (planned grid %d)",
+                name, hist_nbl, bp,
+                float(bnact.mean()), n_blocks, bplan.shape[1],
+            )
+        else:
+            hist_nbl = None
+
     return SampleModel(
         name=name,
         kin=jnp.asarray(kin, FTYPE),
@@ -433,4 +584,8 @@ def build_sample_model(
         static_bins=static_bins,
         kernel_shift=kernel_shift,
         shift_static_base=shift_static_base,
+        hist_tile_starts=hist_tile_starts,
+        hist_nbl=hist_nbl,
+        hist_block_plan=hist_block_plan,
+        hist_block_nact=hist_block_nact,
     )

@@ -291,6 +291,18 @@ class SampleModel:
     # kernel; no [C, E] bin array ever reaches HBM.
     kernel_shift: tuple | None = struct.field(pytree_node=False, default=None)
     shift_static_base: jnp.ndarray | None = None
+    # Sorted narrow-histogram plan (shared route only): events were SORTED
+    # by static bin at build, each event tile's bins span a small window.
+    # hist_tile_starts [ceil(E/event_tile)] i32 (128-aligned window starts),
+    # hist_nbl the static window width. None -> wide-histogram kernel.
+    hist_tile_starts: jnp.ndarray | None = None
+    hist_nbl: int | None = struct.field(pytree_node=False, default=None)
+    # Activity plan (params regrouped + events clustered by which coefficient
+    # blocks touch them): per event tile, the ACTIVE block indices (padding
+    # repeats the last) and the active count gating the kernel's multiplies.
+    # The monolith's sparsity, exploited at tile level.
+    hist_block_plan: jnp.ndarray | None = None  # [n_etiles, PEmax] i32
+    hist_block_nact: jnp.ndarray | None = None  # [n_etiles] i32
 
     @property
     def n_events(self) -> int:
@@ -497,6 +509,12 @@ class SampleModel:
                     norm_ext=self._norm_ext_batch(thetas),
                     norm_s=self.norm_s,
                 )
+            if self.hist_tile_starts is not None and self.hist_nbl is not None:
+                norm_kwargs["tile_starts"] = self.hist_tile_starts
+                norm_kwargs["nbl"] = self.hist_nbl
+                if self.hist_block_plan is not None:
+                    norm_kwargs["block_plan"] = self.hist_block_plan
+                    norm_kwargs["block_nact"] = self.hist_block_nact
             return fused_reweight_histogram_shared(
                 selector, coeffs, base_w, self.static_bins, n_bins=self.n_bins,
                 **norm_kwargs, **tiles,

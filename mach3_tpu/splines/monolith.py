@@ -296,3 +296,23 @@ def load_table(path: str) -> DenseSplineTable | SparseSplineTable:
     jarrays = {k: jnp.asarray(v, _dtype(k, v)) for k, v in arrays.items()}
     _log.info("Loaded %s spline table from %s", kind, path)
     return cls(**jarrays)
+
+
+def dense_table_activity(table: "DenseSplineTable") -> "np.ndarray":
+    """[P, E] bool: True where the table's response is NOT the identity
+    (y row != [1, 0, ...] or any b/c/d nonzero). Computed with one device
+    reduction (the full bf16 table never crosses to host).
+
+    This is the monolith's sparsity pattern — the reference stores it as
+    per-event spline lists (``cpu_nParamPerEvent``, ``SplineCommon.h:30-50``);
+    here it drives tile-level coefficient-block skipping in the fused
+    kernel (``pallas_reweight.param_block_plan``)."""
+    import jax
+    import jax.numpy as jnp
+
+    def act(c):
+        non_y = jnp.any(c[:, :, 1:, :] != 0, axis=(1, 2))
+        y_not1 = jnp.any(c[:, :, 0, :] != 1, axis=1)
+        return non_y | y_not1
+
+    return np.asarray(jax.jit(act)(table.coeffs))

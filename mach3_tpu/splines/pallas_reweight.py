@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -729,7 +730,8 @@ def _kernel_shared_blocked(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_bins", "chain_tile", "event_tile", "param_tile")
+    jax.jit,
+    static_argnames=("n_bins", "chain_tile", "event_tile", "param_tile", "nbl"),
 )
 def fused_reweight_histogram_shared(
     selector: jnp.ndarray,  # [C, P, K4] f32
@@ -742,6 +744,10 @@ def fused_reweight_histogram_shared(
     param_tile: int | None = None,
     norm_ext: jnp.ndarray | None = None,  # [C, NPp1] extended norm values
     norm_s: jnp.ndarray | None = None,  # [NPp1, E] f32 static match counts
+    tile_starts: jnp.ndarray | None = None,  # [E/ET] i32 128-aligned bin starts
+    nbl: int | None = None,  # static local-bin width (multiple of 128)
+    block_plan: jnp.ndarray | None = None,  # [E/ET, PEmax] i32 active blocks
+    block_nact: jnp.ndarray | None = None,  # [E/ET] i32 active-block counts
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (mc [C, B], w2 [C, B]) in f32. Use when bins do not depend on
     the proposal (no functional kinematic shifts) — the common case.
@@ -754,12 +760,25 @@ def fused_reweight_histogram_shared(
     response product in VMEM scratch. Required at reference-scale P.
 
     norm_ext/norm_s: when given, the normalisation product runs in-kernel via
-    the log-matmul (see _norm_weight) instead of as XLA [C, E] intermediates."""
+    the log-matmul (see _norm_weight) instead of as XLA [C, E] intermediates.
+
+    tile_starts/nbl: SORTED-bins fast path (events pre-sorted by bin at
+    build). Each event tile then spans only a few bins, so the histogram's
+    one-hot narrows from [ET, BP] to [NBL, ET] (NBL ~ 256 vs BP ~ 1280 at
+    the large fixture — both the VPU one-hot build and the MXU contraction
+    shrink ~BP/NBL-fold) and accumulates into the resident output at the
+    tile's 128-aligned bin offset. Requires the param-blocked path."""
     c, p, k4 = selector.shape
     e = coeffs.shape[2]
     selector = selector.astype(coeffs.dtype)
     has_norm = norm_ext is not None
     if param_tile is not None and param_tile < p:
+        if tile_starts is not None and nbl is not None:
+            return _shared_blocked_sorted_call(
+                selector, coeffs, base_w, bins, n_bins,
+                chain_tile, event_tile, param_tile, norm_ext, norm_s,
+                tile_starts, nbl, block_plan, block_nact,
+            )
         return _shared_blocked_call(
             selector, coeffs, base_w, bins, n_bins,
             chain_tile, event_tile, param_tile, norm_ext, norm_s,
@@ -837,6 +856,278 @@ def fused_reweight_histogram_shared(
         ),
     )(*args)
     return mc[:c, :n_bins], w2[:c, :n_bins]
+
+
+def _kernel_shared_blocked_sorted(
+    start_ref, plan_ref, nact_ref, selector_ref, base_ref, bins_ref,
+    coeffs_ref, *refs,
+    p_tile, n_ptiles, nbl, has_norm,
+):
+    """Param-blocked shared-bins kernel for BIN-SORTED events with an
+    ACTIVITY PLAN.
+
+    Response-product streaming as :func:`_kernel_shared_blocked`, with two
+    sparsity exploits the wide kernel cannot have:
+
+    * NARROW HISTOGRAM — events were sorted so this event tile's bins live
+      in [start, start + NBL): the one-hot shrinks from [ET, BP] to
+      [NBL, ET] and ONE dot contracts events for both mc and w2 into
+      bin-major resident outputs updated at the dynamic sublane offset.
+      Out-of-window bins (the padded garbage bin) match no row and drop —
+      the wide kernel's slice-off semantics.
+    * PLANNED PARAM BLOCKS — most spline systematics are mode/sample
+      filtered, so most (param-block, event-tile) pairs are pure identity.
+      ``plan_ref[ee, pe]`` names the pe-th ACTIVE coefficient block of this
+      event tile (the BlockSpec index maps read it, so only active blocks
+      are ever DMA'd; inactive slots repeat the previous block index —
+      Mosaic skips the refetch) and ``nact_ref[ee]`` gates the multiply.
+      This is the reference monolith's per-event spline-list sparsity
+      (``SplineMonolith.cpp:209-210``) expressed as tile-level block
+      skipping."""
+    if has_norm:
+        logext_ref, negext_ref, norm_s_ref, mc_ref, w2_ref, w_ref = refs
+    else:
+        mc_ref, w2_ref, w_ref = refs
+    ee = pl.program_id(1)
+    pe = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(ee == 0, pe == 0))
+    def _():
+        mc_ref[:] = jnp.zeros_like(mc_ref)
+        w2_ref[:] = jnp.zeros_like(w2_ref)
+
+    @pl.when(pe == 0)
+    def _():
+        w_ref[:] = base_ref[:]
+
+    @pl.when(pe < nact_ref[ee])
+    def _():
+        w = w_ref[:]
+        for p in range(p_tile):
+            resp = jax.lax.dot_general(
+                selector_ref[:, p, :],
+                coeffs_ref[p],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            w = w * resp
+        w_ref[:] = w
+
+    @pl.when(pe == n_ptiles - 1)
+    def _():
+        w = w_ref[:]
+        wf = w * _norm_weight(logext_ref, negext_ref, norm_s_ref) if has_norm else w
+        start = start_ref[ee]
+        bins = bins_ref[0]  # [ET] i32
+        et = bins.shape[0]
+        local = bins - start
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (nbl, et), 0)
+        onehot = (iota_b == local[None, :]).astype(jnp.float32)  # [NBL, ET]
+        z = jnp.concatenate([wf, wf * wf], axis=0)  # [2*CT, ET]
+        res = jax.lax.dot_general(
+            onehot, z, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [NBL, 2*CT]
+        ct = w.shape[0]
+        sl = pl.ds(start, nbl)
+        mc_ref[sl, :] += res[:, :ct]
+        w2_ref[sl, :] += res[:, ct:]
+
+
+def _shared_blocked_sorted_call(
+    selector, coeffs, base_w, bins, n_bins, chain_tile, event_tile, param_tile,
+    norm_ext, norm_s, tile_starts, nbl, block_plan=None, block_nact=None,
+):
+    """Padding + pallas_call for the bin-sorted param-blocked shared kernel.
+
+    tile_starts: [ceil(E/ET)] i32, the 128-aligned bin offset of each event
+    tile under THIS event_tile (computed at build from the sorted bin map);
+    nbl: static window width (multiple of 128) covering every tile's span.
+    Outputs are bin-major [BP, C] inside the kernel (dynamic sublane
+    updates) and transposed back once outside."""
+    c, p, k4 = selector.shape
+    e = coeffs.shape[2]
+    n_bins_padded = -(-(n_bins + 1) // 128) * 128
+    # The dynamic window [start, start+nbl) must stay inside the padded bin
+    # axis for every tile: extend the padded axis to the worst case.
+    bp_out = max(
+        n_bins_padded,
+        int(-(-(n_bins + 1 + nbl) // 128) * 128),
+    )
+    has_norm = norm_ext is not None
+    # The bin-major outputs put chains on the LANE axis, whose block must be
+    # 128-divisible or the full array dim — so the whole (padded) chain axis
+    # is ONE resident tile. Guard VMEM and fall back to the wide kernel for
+    # chain counts where that does not fit.
+    # Lane-align the single chain tile (the in-kernel lane slice res[:, cp:]
+    # needs a 128-multiple offset).
+    chain_tile = -(-c // 128) * 128
+    na1 = norm_ext.shape[1] if has_norm else 0
+    vmem = 4 * (
+        2 * bp_out * chain_tile          # mc/w2 resident outputs
+        + 2 * chain_tile * event_tile    # base block + product scratch
+        + nbl * event_tile               # one-hot
+        + 2 * chain_tile * max(nbl, 128) # narrow dot result (z concat)
+        + chain_tile * param_tile * k4
+        + 2 * chain_tile * na1
+        + na1 * event_tile
+    ) + 2 * param_tile * k4 * event_tile
+    if vmem > 12 * 2**20:
+        return _shared_blocked_call(
+            selector, coeffs, base_w, bins, n_bins,
+            min(chain_tile, 128), event_tile, param_tile, norm_ext, norm_s,
+        )
+    cpad = -c % chain_tile
+    epad = -e % event_tile
+    ppad = -p % param_tile
+    if cpad:
+        selector = jnp.pad(selector, ((0, cpad), (0, 0), (0, 0)))
+        base_w = jnp.pad(base_w, ((0, cpad), (0, 0)))
+        if has_norm:
+            norm_ext = jnp.pad(norm_ext, ((0, cpad), (0, 0)), constant_values=1.0)
+    if epad:
+        coeffs = jnp.pad(coeffs, ((0, 0), (0, 0), (0, epad)))
+        base_w = jnp.pad(base_w, ((0, 0), (0, epad)))
+        bins = jnp.pad(bins, ((0, epad),), constant_values=n_bins)
+        if has_norm:
+            norm_s = jnp.pad(norm_s, ((0, 0), (0, epad)))
+    if ppad:
+        sel_pad = jnp.zeros((selector.shape[0], ppad, k4), selector.dtype)
+        sel_pad = sel_pad.at[:, :, 0].set(1)
+        selector = jnp.concatenate([selector, sel_pad], axis=1)
+        co_pad = jnp.zeros((ppad, k4, coeffs.shape[2]), coeffs.dtype)
+        co_pad = co_pad.at[:, 0, :].set(1)
+        coeffs = jnp.concatenate([coeffs, co_pad], axis=0)
+    cp, ep, pp = c + cpad, e + epad, p + ppad
+    bins2d = bins[None, :].astype(jnp.int32)
+    n_etiles = ep // event_tile
+    if tile_starts.shape[0] != n_etiles:
+        raise ValueError(
+            f"tile_starts has {tile_starts.shape[0]} entries but the padded "
+            f"event axis has {n_etiles} tiles of {event_tile} — the sample "
+            "was built for a different event_tile"
+        )
+
+    n_blocks = pp // param_tile
+    if block_plan is None:
+        # Trivial plan: every block active for every tile.
+        block_plan = jnp.broadcast_to(
+            jnp.arange(n_blocks, dtype=jnp.int32)[None, :], (n_etiles, n_blocks)
+        )
+        block_nact = jnp.full((n_etiles,), n_blocks, jnp.int32)
+    if block_plan.shape[0] != n_etiles:
+        raise ValueError(
+            f"block_plan has {block_plan.shape[0]} tiles but the padded "
+            f"event axis has {n_etiles} — built for a different event_tile"
+        )
+    n_ptiles = int(block_plan.shape[1])  # grid extent = max active blocks
+    assert cp == chain_tile, (cp, chain_tile)
+    grid = (1, n_etiles, n_ptiles)
+    kernel = functools.partial(
+        _kernel_shared_blocked_sorted,
+        p_tile=param_tile, n_ptiles=n_ptiles, nbl=nbl, has_norm=has_norm,
+    )
+    i32 = jnp.int32
+    # Index maps read the scalar-prefetch refs (starts, plan, nact): the
+    # selector/coeff block index comes from the PLAN, so inactive blocks are
+    # never DMA'd (padding slots repeat the previous index -> no refetch).
+    in_specs = [
+        pl.BlockSpec(
+            (chain_tile, param_tile, k4),
+            lambda ce, ee, pe, st_, pl_, na_: (ce, pl_[ee, pe], i32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (chain_tile, event_tile),
+            lambda ce, ee, pe, st_, pl_, na_: (ce, ee),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, event_tile),
+            lambda ce, ee, pe, st_, pl_, na_: (i32(0), ee),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (param_tile, k4, event_tile),
+            lambda ce, ee, pe, st_, pl_, na_: (pl_[ee, pe], i32(0), ee),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [selector, base_w, bins2d, coeffs]
+    if has_norm:
+        args += _norm_args(norm_ext, norm_s)
+        cmap = lambda ce, ee, pe, st_, pl_, na_: (ce, i32(0))
+        emap = lambda ce, ee, pe, st_, pl_, na_: (i32(0), ee)
+        npp1 = norm_ext.shape[1]
+        in_specs += [
+            pl.BlockSpec((chain_tile, npp1), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chain_tile, npp1), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((npp1, event_tile), emap, memory_space=pltpu.VMEM),
+        ]
+    mc_t, w2_t = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec(
+                    (bp_out, chain_tile),
+                    lambda ce, ee, pe, st_, pl_, na_: (i32(0), ce),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (bp_out, chain_tile),
+                    lambda ce, ee, pe, st_, pl_, na_: (i32(0), ce),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            scratch_shapes=[pltpu.VMEM((chain_tile, event_tile), jnp.float32)],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp_out, cp), jnp.float32),
+            jax.ShapeDtypeStruct((bp_out, cp), jnp.float32),
+        ),
+    )(
+        tile_starts.astype(jnp.int32),
+        block_plan.astype(jnp.int32),
+        block_nact.astype(jnp.int32),
+        *args,
+    )
+    return mc_t[:n_bins, :c].T, w2_t[:n_bins, :c].T
+
+
+def hist_tile_plan(
+    bins: "np.ndarray", n_bins: int, event_tile: int
+) -> tuple["np.ndarray", int] | None:
+    """(tile_starts [ceil(E/ET)], nbl) for the sorted narrow-histogram
+    kernel, or None when the events are not bin-sorted / the window would
+    not beat the wide kernel. Starts are 128-aligned; padding events
+    (bin == n_bins appended by the kernel wrapper) may fall outside the
+    window — they carry zero weight and drop."""
+    bins = np.asarray(bins)
+    if bins.size == 0:
+        return None
+    e = bins.size
+    n_tiles = -(-e // event_tile)
+    starts = np.zeros(n_tiles, np.int32)
+    span_max = 0
+    for t in range(n_tiles):
+        tb = bins[t * event_tile : (t + 1) * event_tile]
+        tb = tb[tb < n_bins]  # garbage bin drops out of the window
+        if tb.size == 0:
+            starts[t] = 0
+            continue
+        # min/max, not first/last: bins are only sorted WITHIN activity-
+        # signature groups, and a tile may straddle a group boundary.
+        start = (int(tb.min()) // 128) * 128
+        starts[t] = start
+        span_max = max(span_max, int(tb.max()) - start + 1)
+    nbl = max(128, -(-span_max // 128) * 128)
+    bp = -(-(n_bins + 1) // 128) * 128
+    if nbl >= bp:  # window as wide as the full bin axis: no gain
+        return None
+    return starts, nbl
 
 
 def _norm_args(norm_ext, norm_s):
@@ -982,3 +1273,57 @@ def spline_selector(table, params_batch: jnp.ndarray) -> jnp.ndarray:
         )
 
     return jax.vmap(one)(params_batch)
+
+
+def param_block_order(act: "np.ndarray") -> "np.ndarray":
+    """Parameter permutation grouping identical activity patterns (params
+    filtered to the same modes/samples share one pattern), so coefficient
+    BLOCKS become activity-pure and tile-level skipping bites."""
+    p = act.shape[0]
+    groups: dict[bytes, list[int]] = {}
+    for i in range(p):
+        groups.setdefault(np.packbits(act[i]).tobytes(), []).append(i)
+    return np.asarray([i for g in groups.values() for i in g], np.int64)
+
+
+def event_block_signature(act: "np.ndarray", param_tile: int) -> "np.ndarray":
+    """[E] i64 sort key: bitmask of which coefficient BLOCKS are active per
+    event (blocks beyond 62 fold onto the top bit)."""
+    p, e = act.shape
+    n_blocks = -(-p // param_tile)
+    sig = np.zeros(e, np.int64)
+    for b in range(n_blocks):
+        a = act[b * param_tile : (b + 1) * param_tile].any(axis=0)
+        sig |= a.astype(np.int64) << min(b, 62)
+    return sig
+
+
+def param_block_plan(
+    act: "np.ndarray", event_tile: int, param_tile: int
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """(block_plan [n_etiles, PEmax] i32, block_nact [n_etiles] i32) for the
+    planned kernel: per (padded) event tile, the indices of coefficient
+    blocks with ANY active parameter; inactive slots repeat the last active
+    index (same block -> Mosaic skips the DMA refetch) and are compute-gated
+    by nact. Padding rows/columns (identity) are inactive by construction."""
+    p, e = act.shape
+    n_blocks = -(-p // param_tile)
+    n_etiles = -(-e // event_tile)
+    plan_rows = []
+    nact = np.zeros(n_etiles, np.int32)
+    for t in range(n_etiles):
+        cols = act[:, t * event_tile : (t + 1) * event_tile]
+        active = [
+            b for b in range(n_blocks)
+            if cols[b * param_tile : (b + 1) * param_tile].any()
+        ]
+        nact[t] = len(active)
+        plan_rows.append(active)
+    pe_max = max(1, int(nact.max()))
+    plan = np.zeros((n_etiles, pe_max), np.int32)
+    for t, row in enumerate(plan_rows):
+        if not row:
+            row = [0]
+        padded = row + [row[-1]] * (pe_max - len(row))
+        plan[t] = padded
+    return plan, nact

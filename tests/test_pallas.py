@@ -366,3 +366,67 @@ def test_in_kernel_norm_with_negative_values(interp):
     mc_k, _ = s.reweight_batch(thetas)
     mc_r, _ = s.replace(use_pallas=False).reweight_batch(thetas)
     np.testing.assert_allclose(np.asarray(mc_k), np.asarray(mc_r), rtol=2e-4, atol=1e-3)
+
+
+def test_sorted_planned_kernel_matches_wide(interp):
+    """Bin-sorted narrow-histogram + activity-planned blocks (r4): the
+    sorted kernel with per-tile bin windows and per-tile active coefficient
+    blocks must reproduce the wide param-blocked kernel exactly. Events are
+    clustered by activity signature then bin; one parameter group per
+    event subset mirrors mode-filtered systematics."""
+    from mach3_tpu.splines.monolith import dense_table_activity
+
+    rng = np.random.default_rng(3)
+    E, P, NB, ET, PT, C = 3000, 9, 300, 512, 3, 5
+    groups = rng.integers(0, 3, E)
+    specs = []
+    for p in range(P):
+        ev = np.nonzero(groups == (p % 3))[0]
+        y = 1.0 + 0.1 * rng.normal(size=(len(ev), 5)).cumsum(axis=1)
+        specs.append(SplineParamSpec(
+            name=f"p{p}", param_index=p,
+            x_knots=np.array([-2.0, -1.0, 0.0, 1.0, 2.0]),
+            event_ids=ev, y_knots=y,
+        ))
+    table = build_dense_table(specs, E)
+    act = dense_table_activity(table)
+    pperm = pr.param_block_order(act)
+    act = act[pperm]
+    jp = jnp.asarray(pperm)
+    table = table.replace(
+        coeffs=jnp.take(table.coeffs, jp, axis=0),
+        knots_x=jnp.take(table.knots_x, jp, axis=0),
+        n_knots=jnp.take(table.n_knots, jp, axis=0),
+        param_index=jnp.take(table.param_index, jp, axis=0),
+    )
+    bins_np = (groups * 90 + rng.integers(0, 95, E)).astype(np.int32)
+    bins_np[rng.random(E) < 0.01] = NB  # out-of-range events stay dropped
+    sig = pr.event_block_signature(act, PT)
+    eperm = np.lexsort((bins_np, sig))
+    act = act[:, eperm]
+    bins_np = bins_np[eperm]
+    table = table.replace(coeffs=jnp.take(table.coeffs, jnp.asarray(eperm), axis=3))
+    params = jnp.asarray(0.4 * rng.normal(size=(C, P + 1)))
+    sel = pr.spline_selector(table, params)
+    co = table.coeffs.reshape(P, -1, E)
+    bw = jnp.asarray(rng.random((C, E)), jnp.float32)
+    starts, nbl = pr.hist_tile_plan(bins_np, NB, ET)
+    bplan, bnact = pr.param_block_plan(act, ET, PT)
+    assert bplan.shape[1] < -(-P // PT)  # the plan actually skips blocks
+    assert nbl < -(-(NB + 1) // 128) * 128  # the window actually narrows
+
+    ref = pr.fused_reweight_histogram_shared(
+        sel, co, bw, jnp.asarray(bins_np), n_bins=NB,
+        chain_tile=4, event_tile=ET, param_tile=PT,
+    )
+    pr.fused_reweight_histogram_shared.clear_cache()
+    out = pr.fused_reweight_histogram_shared(
+        sel, co, bw, jnp.asarray(bins_np), n_bins=NB,
+        chain_tile=4, event_tile=ET, param_tile=PT,
+        tile_starts=jnp.asarray(starts), nbl=int(nbl),
+        block_plan=jnp.asarray(bplan), block_nact=jnp.asarray(bnact),
+    )
+    np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(out[0]),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(out[1]),
+                               rtol=2e-5, atol=1e-5)

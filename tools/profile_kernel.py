@@ -111,21 +111,24 @@ def main() -> None:
               f"pt={kr.param_tile} NA1={norm_ext.shape[1]}", flush=True)
         configs = [(kr.chain_tile, kr.event_tile, kr.param_tile)] + VARIANTS
         for ct, et, pt in configs:
-            def k(m, sel, ct=ct, et=et, pt=pt):
+            # Large arrays ride as scan args (closure constants -> HTTP 413).
+            def k(m, sel, co, bw, ne, ct=ct, et=et, pt=pt):
                 return fused_reweight_histogram_shared(
-                    sel, coeffs, base_w, m.static_bins, n_bins=m.n_bins,
-                    norm_ext=norm_ext, norm_s=m.norm_s,
+                    sel, co, bw, m.static_bins, n_bins=m.n_bins,
+                    norm_ext=ne, norm_s=m.norm_s,
                     chain_tile=ct, event_tile=et, param_tile=pt,
                 )
-            t(f"{s.name}.kernel_ct{ct}_et{et}_pt{pt}", k, s, selector)
+            t(f"{s.name}.kernel_ct{ct}_et{et}_pt{pt}", k, s,
+              selector, coeffs, base_w, norm_ext)
 
-        def k_nonorm(m, sel):
+        def k_nonorm(m, sel, co, bw):
             return fused_reweight_histogram_shared(
-                sel, coeffs, base_w, m.static_bins, n_bins=m.n_bins,
+                sel, co, bw, m.static_bins, n_bins=m.n_bins,
                 chain_tile=kr.chain_tile, event_tile=kr.event_tile,
                 param_tile=kr.param_tile,
             )
-        t(f"{s.name}.kernel_nonorm_routed", k_nonorm, s, selector)
+        t(f"{s.name}.kernel_nonorm_routed", k_nonorm, s,
+          selector, coeffs, base_w)
 
     print(json.dumps(out), flush=True)
 
