@@ -113,7 +113,7 @@ def sample_budget(s: Any, n_chains: int) -> list[ComponentBudget]:
         k = ComponentBudget(f"{s.name}:kernel")
         tb = s.spline_table.coeffs
         k.hbm_bytes = _nbytes(tb) + c * e * f32 + 2 * c * b * f32
-        p_dim, k4 = tb.shape[0], tb.shape[1] * tb.shape[2]
+        p_dim, k4 = tb.shape[0], tb.shape[1]  # flat [P, K4, E]
         k.mxu_flops = 2 * c * p_dim * k4 * e
         out.append(k)
 

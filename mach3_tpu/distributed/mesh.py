@@ -110,9 +110,9 @@ def _event_spec_for_path(path: str, ndim: int) -> P:
     for field, axis in event_axis_by_field.items():
         if path.endswith(field):
             if field == "coeffs":
-                if ndim == 4:  # dense monolith [P, K, 4, E]
-                    return P(None, None, None, EVENT_AXIS)
-                return P()  # sparse coeffs are per-spline; replicate
+                if ndim == 3:  # dense monolith [P, K4, E] -> event axis 2
+                    return P(None, None, EVENT_AXIS)
+                return P()  # (legacy 4-D handled nowhere: dense is flat now)
             spec = [None] * ndim
             spec[axis] = EVENT_AXIS
             return P(*spec)

@@ -515,7 +515,7 @@ def build_sample_model(
             static_bins = jnp.take(static_bins, jperm)
             if spline_table is not None and hasattr(spline_table, "coeffs"):
                 spline_table = spline_table.replace(
-                    coeffs=jnp.take(spline_table.coeffs, jperm, axis=3)
+                    coeffs=jnp.take(spline_table.coeffs, jperm, axis=2)
                 )
             if tf1_table is not None:
                 tf1_table = tf1_table.replace(

@@ -138,7 +138,11 @@ def choose_kernel_route(
         if p > MAX_UNROLL_PARAMS:
             pt = PARAM_TILE  # reference-scale P: stream coefficient blocks
     elif has_kernel_shift:
-        variant, ct, bp = "shifted", 16, _pad128(n_bins)
+        # CT=64: the mask-reduce histogram's VPU cost is CT-independent
+        # (total work ∝ B·C·E), but the coefficient stream is re-read
+        # C/CT times — measured 2.98 -> 2.04 ms going 16 -> 64 on the
+        # large fixture's 60k-event shifted sample at 128 chains (r4).
+        variant, ct, bp = "shifted", 64, _pad128(n_bins)
         if n_bins > MAX_MASKREDUCE_BINS:
             return _fallback(
                 requested,

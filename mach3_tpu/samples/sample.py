@@ -491,9 +491,7 @@ class SampleModel:
         base_w = jax.vmap(_base, in_axes=in_axes)(thetas, *oc)
         selector = spline_selector(self.spline_table, thetas)
         table = self.spline_table
-        coeffs = table.coeffs.reshape(
-            table.coeffs.shape[0], -1, table.coeffs.shape[3]
-        )
+        coeffs = table.coeffs  # stored flat [P, K4, E]
         tiles = {}
         if self.kernel_route is not None and self.kernel_route.use_pallas:
             tiles = dict(
@@ -636,7 +634,7 @@ class SampleModel:
             et0 = kr.event_tile if routed else 4096
             pt = kr.param_tile if routed else None
             n_params = self.spline_table.coeffs.shape[0]
-            k4 = self.spline_table.coeffs.shape[1] * self.spline_table.coeffs.shape[2]
+            k4 = self.spline_table.coeffs.shape[1]
             eff_pt = pt if (pt is not None and pt < n_params) else n_params
             et = self._diff_shared_event_tile(self.n_bins, ct, et0, eff_pt, k4)
             if et is None:
@@ -697,9 +695,7 @@ class SampleModel:
         base_w = jax.vmap(_base, in_axes=in_axes)(thetas, *oc)
         selector = spline_selector(self.spline_table, thetas)
         table = self.spline_table
-        coeffs = table.coeffs.reshape(
-            table.coeffs.shape[0], -1, table.coeffs.shape[3]
-        )
+        coeffs = table.coeffs  # stored flat [P, K4, E]
         if kind == "shifted":
             bins_xla = jax.vmap(
                 lambda t: self.binning.find_bins(self._shifted_kinematics(t))

@@ -123,7 +123,7 @@ def build_binned_table(
         coeffs.nbytes / 1e6,
     )
     return SparseSplineTable(
-        coeffs=jnp.asarray(coeffs, FTYPE),
+        spline_coeffs=jnp.asarray(coeffs, FTYPE),
         spline_param=jnp.asarray(spline_param, ITYPE),
         event_splines=jnp.asarray(event_splines, ITYPE),
         knots_x=jnp.asarray(knots_x, FTYPE),

@@ -72,10 +72,12 @@ def eval_dense(table: DenseSplineTable, params: jnp.ndarray) -> jnp.ndarray:
         == seg[:, None]
     ).astype(FTYPE)
     tp = jnp.stack([jnp.ones_like(t), t, t * t, t * t * t], axis=-1)  # [P, 4]
-    selector = seg_onehot[:, :, None] * tp[:, None, :]  # [P, K, 4]
-    # Batched contraction over (K, 4): [P, K, 4] . [P, K, 4, E] -> [P, E].
+    selector = (seg_onehot[:, :, None] * tp[:, None, :]).reshape(
+        table.n_spline_params, -1
+    )  # [P, K*4] — matches the table's flat coefficient layout
+    # Batched contraction over K*4: [P, K4] . [P, K4, E] -> [P, E].
     w = jnp.einsum(
-        "pkc,pkce->pe", selector, table.coeffs, preferred_element_type=FTYPE
+        "pk,pke->pe", selector, table.coeffs, preferred_element_type=FTYPE
     )
     return jnp.prod(w, axis=0)
 
@@ -93,7 +95,7 @@ def eval_sparse(table: SparseSplineTable, params: jnp.ndarray) -> jnp.ndarray:
     seg_per_spline = seg[table.spline_param]  # [S+1]
     t_per_spline = t[table.spline_param]  # [S+1]
     active = jnp.take_along_axis(
-        table.coeffs, seg_per_spline[:, None, None], axis=1
+        table.spline_coeffs, seg_per_spline[:, None, None], axis=1
     )[:, 0]  # [S+1, 4]
     w = _cubic(active, t_per_spline)  # [S+1]
     # Padding rows index the unit spline (last row, response exactly 1).

@@ -72,17 +72,19 @@ class SplineParamSpec:
 
 @struct.dataclass
 class DenseSplineTable:
-    """Dense coefficient table in matmul layout ``[P, K, 4, E]``.
+    """Dense coefficient table in matmul layout ``[P, K*4, E]``.
 
     The layout is chosen so that evaluation over a chain batch is a batched
     matmul on the MXU: each chain's (segment, t) for parameter p defines a
     sparse coefficient-selector row ``T[c] = onehot(seg) x (1, t, t², t³)`` of
-    length K*4, and the per-event responses are ``T @ coeffs[p]`` with
-    ``coeffs[p]`` reshaped ``[K*4, E]`` — the coefficient table is read ONCE
-    for all chains instead of gathered per chain.
+    length K*4, and the per-event responses are ``T @ coeffs[p]`` — the
+    coefficient table is read ONCE for all chains instead of gathered per
+    chain. Stored FLAT (the (K, 4) axes pre-merged): reshaping a GB-scale
+    table inside a jitted program before a ``pallas_call`` forced a full
+    copy every step (measured ~1 ms at the large fixture).
     """
 
-    coeffs: jnp.ndarray  # [P, Kmax, 4, E] f32 (y, b, c, d along axis 2)
+    coeffs: jnp.ndarray  # [P, Kmax*4, E] f32 — (y,b,c,d) per knot, flattened
     knots_x: jnp.ndarray  # [P, Kmax] f32, padded with +inf
     n_knots: jnp.ndarray  # [P] i32
     param_index: jnp.ndarray  # [P] i32 — map into the proposal vector
@@ -93,14 +95,22 @@ class DenseSplineTable:
 
     @property
     def n_events(self) -> int:
-        return self.coeffs.shape[3]
+        return self.coeffs.shape[2]
+
+    @property
+    def kmax(self) -> int:
+        return self.knots_x.shape[1]
 
 
 @struct.dataclass
 class SparseSplineTable:
-    """Flat spline list + per-event padded gather map."""
+    """Flat spline list + per-event padded gather map.
 
-    coeffs: jnp.ndarray  # [S+1, Kmax, 4] f32; row S is the unit spline
+    The coefficient field is named ``spline_coeffs`` (not ``coeffs``) so the
+    distributed field-name -> event-axis map can tell it apart from the
+    dense table's event-major ``coeffs``."""
+
+    spline_coeffs: jnp.ndarray  # [S+1, Kmax, 4] f32; row S is the unit spline
     spline_param: jnp.ndarray  # [S+1] i32 — local spline-param id per spline
     event_splines: jnp.ndarray  # [E, W] i32 — indices into the spline list (S = pad)
     knots_x: jnp.ndarray  # [P, Kmax] f32, padded with +inf
@@ -109,7 +119,7 @@ class SparseSplineTable:
 
     @property
     def n_splines(self) -> int:
-        return self.coeffs.shape[0] - 1
+        return self.spline_coeffs.shape[0] - 1
 
     @property
     def n_events(self) -> int:
@@ -165,6 +175,7 @@ def build_dense_table(
         # segment index stays correct.
         if k < kmax:
             coeffs[p, k:, :, :] = coeffs[p, k - 1 : k, :, :]
+    coeffs = coeffs.reshape(n_params, kmax * 4, n_events)
     coeff_dtype = jnp.bfloat16 if low_memory else FTYPE
     size_mb = coeffs.nbytes / 1e6 / (2 if low_memory else 1)
     _log.info(
@@ -232,7 +243,7 @@ def build_sparse_table(
         coeffs.nbytes / 1e6,
     )
     return SparseSplineTable(
-        coeffs=jnp.asarray(coeffs, FTYPE),
+        spline_coeffs=jnp.asarray(coeffs, FTYPE),
         spline_param=jnp.asarray(spline_param, ITYPE),
         event_splines=jnp.asarray(event_splines, ITYPE),
         knots_x=jnp.asarray(knots_x, FTYPE),
@@ -248,7 +259,7 @@ def build_sparse_table(
 # are plain arrays, so the fast path is a versioned npz round-trip.
 # ---------------------------------------------------------------------------
 
-_MONOLITH_FORMAT = 1
+_MONOLITH_FORMAT = 2  # 2: dense coeffs flattened to [P, K*4, E]; sparse field renamed
 
 
 def save_table(path: str, table: DenseSplineTable | SparseSplineTable) -> None:
@@ -311,8 +322,9 @@ def dense_table_activity(table: "DenseSplineTable") -> "np.ndarray":
     import jax.numpy as jnp
 
     def act(c):
-        non_y = jnp.any(c[:, :, 1:, :] != 0, axis=(1, 2))
-        y_not1 = jnp.any(c[:, :, 0, :] != 1, axis=1)
+        c4 = c.reshape(c.shape[0], -1, 4, c.shape[2])
+        non_y = jnp.any(c4[:, :, 1:, :] != 0, axis=(1, 2))
+        y_not1 = jnp.any(c4[:, :, 0, :] != 1, axis=1)
         return non_y | y_not1
 
     return np.asarray(jax.jit(act)(table.coeffs))

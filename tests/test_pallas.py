@@ -63,7 +63,7 @@ def test_fused_kernel_matches_reference(interp):
     table, base_w, bins, params, n_bins = _setup()
     selector = pr.spline_selector(table, params)
     mc, w2 = pr.fused_reweight_histogram(
-        selector, table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3]),
+        selector, table.coeffs,
         base_w, bins, n_bins=n_bins, chain_tile=4, event_tile=128,
     )
 
@@ -81,7 +81,7 @@ def test_fused_kernel_padding_correct(interp):
     """Non-tile-multiple C and E must give identical results (padding drops out)."""
     table, base_w, bins, params, n_bins = _setup(n_events=250, n_chains=3)
     selector = pr.spline_selector(table, params)
-    coeffs = table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3])
+    coeffs = table.coeffs
     mc_a, _ = pr.fused_reweight_histogram(
         selector, coeffs, base_w, bins, n_bins=n_bins, chain_tile=4, event_tile=128
     )
@@ -96,7 +96,7 @@ def test_out_of_range_bins_dropped(interp):
     # all bins out of range -> empty histograms
     bins_oob = jnp.full_like(bins, n_bins)
     selector = pr.spline_selector(table, params)
-    coeffs = table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3])
+    coeffs = table.coeffs
     mc, w2 = pr.fused_reweight_histogram(
         selector, coeffs, base_w, bins_oob, n_bins=n_bins, chain_tile=4, event_tile=128
     )
@@ -107,7 +107,7 @@ def test_out_of_range_bins_dropped(interp):
 def test_fused_maskreduce_and_blockdiag_agree(interp):
     """Both per-chain-bins histogram algorithms equal the XLA path."""
     table, base_w, bins, params, n_bins = _setup()
-    coeffs = table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3])
+    coeffs = table.coeffs
     sel = pr.spline_selector(table, params)
     resp = jax.vmap(lambda p: eval_dense(table, p))(params)
     w = base_w * resp
@@ -133,7 +133,7 @@ def test_fused_shared_bins_matches_xla(interp):
 
     mc_k, w2_k = pr.fused_reweight_histogram_shared(
         pr.spline_selector(table, params),
-        table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3]),
+        table.coeffs,
         base_w,
         bins1d,
         n_bins=n_bins,
@@ -175,7 +175,7 @@ def test_shared_blocked_matches_unrolled(interp):
     params = jnp.asarray(0.3 * rng.normal(size=(n_chains, n_params)))
 
     sel = pr.spline_selector(table, params)
-    coeffs = table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3])
+    coeffs = table.coeffs
     mc_u, w2_u = pr.fused_reweight_histogram_shared(
         sel, coeffs, base_w, bins1d, n_bins=n_bins, chain_tile=4, event_tile=128
     )
@@ -214,7 +214,7 @@ def test_shared_in_kernel_norm_matches_xla(interp):
         [vals.astype(jnp.float32), jnp.ones((n_chains, 1), jnp.float32)], axis=1
     )
     sel = pr.spline_selector(table, params)
-    coeffs = table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3])
+    coeffs = table.coeffs
 
     # XLA reference: norm product outside, kernel without norm
     norm_w = jnp.exp(
@@ -267,7 +267,7 @@ def test_shifted_blocked_matches_unrolled(interp):
         return x * (1.0 + v)
 
     sel = pr.spline_selector(table, params)
-    coeffs = table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3])
+    coeffs = table.coeffs
     kwargs = dict(
         n_bins=8, shift_fn=shift_fn, edges=edges, stride_j=1, n_axis_j=8,
         chain_tile=2, event_tile=128,
@@ -405,10 +405,10 @@ def test_sorted_planned_kernel_matches_wide(interp):
     eperm = np.lexsort((bins_np, sig))
     act = act[:, eperm]
     bins_np = bins_np[eperm]
-    table = table.replace(coeffs=jnp.take(table.coeffs, jnp.asarray(eperm), axis=3))
+    table = table.replace(coeffs=jnp.take(table.coeffs, jnp.asarray(eperm), axis=2))
     params = jnp.asarray(0.4 * rng.normal(size=(C, P + 1)))
     sel = pr.spline_selector(table, params)
-    co = table.coeffs.reshape(P, -1, E)
+    co = table.coeffs
     bw = jnp.asarray(rng.random((C, E)), jnp.float32)
     starts, nbl = pr.hist_tile_plan(bins_np, NB, ET)
     bplan, bnact = pr.param_block_plan(act, ET, PT)

@@ -94,7 +94,7 @@ def test_value_and_grad_parity(interp, shared):
     table, base_w, params, gmc, gw2 = _setup(n_bins=n_bins)
     rng = np.random.default_rng(1)
     selector = pr.spline_selector(table, params)
-    coeffs = table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3])
+    coeffs = table.coeffs
     if shared:
         bins = jnp.asarray(rng.integers(0, n_bins + 1, base_w.shape[1]), jnp.int32)
         static = (n_bins, 4, 128, None, True)
@@ -130,7 +130,7 @@ def test_param_blocked_backward(interp):
     table, base_w, params, gmc, gw2 = _setup(n_params=7, n_bins=n_bins, seed=3)
     rng = np.random.default_rng(4)
     selector = pr.spline_selector(table, params)
-    coeffs = table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3])
+    coeffs = table.coeffs
     bins = jnp.asarray(rng.integers(0, n_bins + 1, base_w.shape[1]), jnp.int32)
     static = (n_bins, 4, 128, 3, True)  # param_tile=3 < P=7 (pads to 9)
 
@@ -163,7 +163,7 @@ def test_zero_response_exclusion(interp):
     rng = np.random.default_rng(8)
     selector = pr.spline_selector(table, params)
     selector = selector.at[:, 1, :].set(0.0)  # resp_1 == 0 exactly
-    coeffs = table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3])
+    coeffs = table.coeffs
     bins = jnp.asarray(rng.integers(0, n_bins + 1, base_w.shape[1]), jnp.int32)
     static = (n_bins, 4, 128, None, True)
 
@@ -197,7 +197,7 @@ def test_shifted_variant_grad_parity(interp):
     table, base_w, params, gmc, gw2 = _setup(n_params=5, n_bins=n_bins, seed=21)
     rng = np.random.default_rng(22)
     selector = pr.spline_selector(table, params)
-    coeffs = table.coeffs.reshape(table.coeffs.shape[0], -1, table.coeffs.shape[3])
+    coeffs = table.coeffs
     n_events = base_w.shape[1]
     x_nom = jnp.asarray(rng.uniform(0.2, 3.0, n_events), jnp.float32)
     static_base = jnp.asarray(

@@ -20,7 +20,7 @@ from mach3_tpu.splines.monolith import DenseSplineTable, SparseSplineTable
 
 def _dense_table(p=4, k=7, e=1000):
     return DenseSplineTable(
-        coeffs=jnp.zeros((p, k, 4, e), jnp.float32),
+        coeffs=jnp.zeros((p, k * 4, e), jnp.float32),
         knots_x=jnp.full((p, k), jnp.inf, jnp.float32),
         n_knots=jnp.full((p,), k, jnp.int32),
         param_index=jnp.arange(p, dtype=jnp.int32),
@@ -34,7 +34,7 @@ def test_disabled_by_caller():
 
 def test_no_dense_table_routes_xla():
     sparse = SparseSplineTable(
-        coeffs=jnp.zeros((3, 5, 4), jnp.float32),
+        spline_coeffs=jnp.zeros((3, 5, 4), jnp.float32),
         spline_param=jnp.zeros((3,), jnp.int32),
         event_splines=jnp.zeros((10, 1), jnp.int32),
         knots_x=jnp.full((2, 5), jnp.inf, jnp.float32),

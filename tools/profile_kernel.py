@@ -98,7 +98,7 @@ def main() -> None:
             jax.jit(lambda m, x: spline_selector(m.spline_table, x))(s, th)
         )
         tbl = s.spline_table
-        coeffs = tbl.coeffs.reshape(tbl.coeffs.shape[0], -1, tbl.coeffs.shape[3])
+        coeffs = tbl.coeffs
         ones = jnp.ones((c, 1), jnp.float32)
         norm_ext = jnp.concatenate(
             [jnp.take(th, s.norm_applied, axis=1).astype(jnp.float32), ones], 1

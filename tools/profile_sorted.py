@@ -66,7 +66,7 @@ def main():
         selector = jax.block_until_ready(
             jax.jit(lambda m, x: spline_selector(m.spline_table, x))(s, th))
         tbl = s.spline_table
-        coeffs = tbl.coeffs.reshape(tbl.coeffs.shape[0], -1, tbl.coeffs.shape[3])
+        coeffs = tbl.coeffs
         ne = jnp.concatenate([
             jnp.take(th, s.norm_applied, axis=1).astype(jnp.float32),
             jnp.ones((th.shape[0], 1), jnp.float32)], 1)
@@ -90,8 +90,7 @@ def main():
                 fw = m._func_weights(t_)
                 return w if fw is None else w * fw
             bw = jax.vmap(one)(x, tb)
-            co = m.spline_table.coeffs.reshape(
-                m.spline_table.coeffs.shape[0], -1, m.spline_table.coeffs.shape[3])
+            co = m.spline_table.coeffs
             nx = jnp.concatenate([
                 jnp.take(x, m.norm_applied, axis=1).astype(jnp.float32),
                 jnp.ones((x.shape[0], 1), jnp.float32)], 1)
