@@ -234,7 +234,10 @@ def main() -> None:
     init = jitter_init(np, toy.model, theta0, n_chains, rng)
 
     fitter = MR2T2(toy.model, MCMCConfig(n_steps=n_steps, chunk_size=250), init, seed=1)
-    fitter.run(n_steps=50)  # compile + warm-up
+    # Warm up with ONE FULL-SIZE chunk: a different warmup length would
+    # compile a different scan and the measured window would pay a fresh
+    # compile (observed: 15k "steps/s" headline from exactly this).
+    fitter.run(n_steps=250 if not small else n_steps)  # compile + warm-up
     b.stage("headline warmup (compile + 50 steps)")
     t0 = time.perf_counter()
     out = fitter.run(n_steps=n_steps)
@@ -279,7 +282,7 @@ def main() -> None:
                 adaption_start_throw=200, adaption_update_step=100,
             )
             fa = MR2T2(toy.model, cfg_ad, init, seed=2)
-            fa.run(n_steps=max(100, 400 if not small else n_ad // 2))  # compile + adapt
+            fa.run(n_steps=500 if not small else n_ad)  # compile + adapt (chunk-aligned)
             t0 = time.perf_counter()
             out_a = fa.run(n_steps=n_ad)
             jax.block_until_ready(fa.state.theta)
@@ -296,63 +299,27 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover
             res["adaptive"] = {"error": str(exc)[:200]}
 
-    # ---- reference-scale fixture: step/NLL/reweight + adaptive ESS
+    # ---- build the reference-scale fixture (shared by the next sections)
     exp = None
     if os.environ.get("MACH3_BENCH_LARGE", "1") != "0" and not small and b.fits(
-        "large_scale", 420
+        "build_large", 200
     ):
         try:
             from mach3_tpu.tutorial.large import build_large
 
             exp = build_large(use_pallas=True, low_memory=True)
             b.stage("build_large")
-            c_large = 128  # near the per-chain/per-chip throughput sweet spot
-            th_l = jnp.asarray(jitter_init(
-                np, exp.model, np.asarray(exp.model.prefit_vector()), c_large, rng
-            ))
-            dt_nll = scan_time(jax, jnp, lambda m, t: m.total_nll_batch(t), exp.model, th_l, iters=10)
-            ev_total = sum(s.n_events for s in exp.samples)
-            rw = {}
-            for s in exp.samples:
-                d = scan_time(jax, jnp, lambda m, t: m.reweight_batch(t), s, th_l, iters=10)
-                rw[s.name] = {
-                    "ms": round(1e3 * d, 3),
-                    "events_per_sec": round(s.n_events * c_large / d, 0),
-                    "route": s.kernel_route.variant,
-                }
-            init_l = np.asarray(th_l)
-            fl = MR2T2(exp.model, MCMCConfig(n_steps=60, chunk_size=30), init_l, seed=4)
-            fl.run(n_steps=30)
-            t0 = time.perf_counter()
-            fl.run(n_steps=60)
-            jax.block_until_ready(fl.state.theta)
-            dt_l = time.perf_counter() - t0
-            step_ms = 1e3 * dt_l / 60
-            res["large_scale"] = {
-                "n_params": exp.n_params,
-                "n_events": ev_total,
-                "n_bins": sum(s.n_bins for s in exp.samples),
-                "chains": c_large,
-                "chain_steps_per_sec": round(60 * c_large / dt_l, 1),
-                "step_ms": round(step_ms, 2),
-                "total_nll_ms": round(1e3 * dt_nll, 2),
-                "reweight": rw,
-            }
-            res.setdefault("floors", {})["large_step_ms"] = {
-                "r03_builder_anchor": R03_LARGE_STEP_MS_BUILDER,
-                "ratio_vs_r03": round(step_ms / R03_LARGE_STEP_MS_BUILDER, 3),
-                "regressed": bool(step_ms > 1.4 * R03_LARGE_STEP_MS_BUILDER),
-            }
-            b.stage("large-scale")
         except Exception as exc:  # pragma: no cover
             res["large_scale"] = {"error": str(exc)[:300]}
 
     # ---- gradient path at reference scale: fused-VJP budget + ChEES-HMC
-    # (r3 verdict #4: these have never landed in a driver artifact)
+    # (r3 verdict #4: these have never landed in a driver artifact — they
+    # run BEFORE the large-scale component sweep so a budget squeeze hits
+    # the secondary numbers, not these)
     if (
         os.environ.get("MACH3_BENCH_HMC", "1") != "0"
         and exp is not None
-        and b.fits("hmc_large", 240)
+        and b.fits("hmc_large", 500)
     ):
         try:
             from mach3_tpu.fitters.hmc import HMC, HMCConfig
@@ -455,6 +422,60 @@ def main() -> None:
                 else "hmc_large_grad_budget"
             )
             res[key] = {"error": str(exc)[:300]}
+
+    # ---- reference-scale fixture: step time + NLL (+reweight detail)
+    if (
+        os.environ.get("MACH3_BENCH_LARGE", "1") != "0"
+        and exp is not None
+        and "large_scale" not in res
+        and b.fits("large_scale", 300)
+    ):
+        try:
+            c_large = 128  # near the per-chain/per-chip throughput sweet spot
+            th_l = jnp.asarray(jitter_init(
+                np, exp.model, np.asarray(exp.model.prefit_vector()), c_large, rng
+            ))
+            dt_nll = scan_time(jax, jnp, lambda m, t: m.total_nll_batch(t), exp.model, th_l, iters=10)
+            init_l = np.asarray(th_l)
+            fl = MR2T2(exp.model, MCMCConfig(n_steps=60, chunk_size=30), init_l, seed=4)
+            fl.run(n_steps=30)
+            t0 = time.perf_counter()
+            fl.run(n_steps=60)
+            jax.block_until_ready(fl.state.theta)
+            dt_l = time.perf_counter() - t0
+            step_ms = 1e3 * dt_l / 60
+            res["large_scale"] = {
+                "n_params": exp.n_params,
+                "n_events": sum(s.n_events for s in exp.samples),
+                "n_bins": sum(s.n_bins for s in exp.samples),
+                "chains": c_large,
+                "chain_steps_per_sec": round(60 * c_large / dt_l, 1),
+                "step_ms": round(step_ms, 2),
+                "total_nll_ms": round(1e3 * dt_nll, 2),
+            }
+            res.setdefault("floors", {})["large_step_ms"] = {
+                "r03_builder_anchor": R03_LARGE_STEP_MS_BUILDER,
+                "ratio_vs_r03": round(step_ms / R03_LARGE_STEP_MS_BUILDER, 3),
+                "regressed": bool(step_ms > 1.4 * R03_LARGE_STEP_MS_BUILDER),
+            }
+            b.stage("large-scale")
+            # Per-sample reweight detail costs three more (uncached remote)
+            # compiles — opt-in, the step/NLL numbers above are the record.
+            if os.environ.get("MACH3_BENCH_RW_DETAIL", "0") == "1" and b.fits(
+                "large_rw_detail", 240
+            ):
+                rw = {}
+                for s in exp.samples:
+                    d = scan_time(jax, jnp, lambda m, t: m.reweight_batch(t), s, th_l, iters=10)
+                    rw[s.name] = {
+                        "ms": round(1e3 * d, 3),
+                        "events_per_sec": round(s.n_events * c_large / d, 0),
+                        "route": s.kernel_route.variant,
+                    }
+                res["large_scale"]["reweight"] = rw
+                b.stage("large reweight detail")
+        except Exception as exc:  # pragma: no cover
+            res["large_scale"] = {"error": str(exc)[:300]}
 
     # ---- ADAPTIVE (production) sampler at reference scale: ESS/hour
     if (
