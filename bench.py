@@ -4,38 +4,41 @@ BASELINE.md north-star metrics as extra fields.
 Prints ONE JSON line whose required keys are {"metric", "value", "unit",
 "vs_baseline"}; additional fields carry:
 
+* parity — ON-DEVICE correctness gates: fused-Pallas vs pure-XLA NLL
+  rel-err per sample/route at jittered thetas, recorded BEFORE the speed
+  numbers they guard (r4 verdict #3; the reference's equivalent is the CI
+  ReweightValidations gate, ``.github/workflows/CIValidations.yml:20-45``),
 * adaptive — the PRODUCTION sampler (pooled Haario + Robbins-Monro, the
-  reference's default mode): steps/s, acceptance, and ESS/hour on the toy,
-* ess_per_hour — fixed-proposal ESS/hour measured from a >=2000-step window
-  with tau_int reported alongside (r3 verdict: 200-step windows were
-  estimator noise),
-* large_scale — the reference-scale fixture (101 params, 510k events,
-  3 samples, 2,182 bins): steps/s at 128 chains, reweight events/s, and the
-  ADAPTIVE sampler's ESS/hour at this scale,
-* hmc — gradient samplers: the large-fixture gradient-path budget (fused
-  Pallas VJP vs the XLA fallback) and ChEES-HMC at reference scale, then the
-  toy,
-* large700 — the reference's upper envelope (~700 spline/norm params, ~1M
-  events) step time,
-* spline_reweight_events_per_sec, component_ms, chains_1024,
-  parallel_tempering — secondary throughput points,
+  reference's default mode): steps/s, acceptance, ESS/hour on the toy,
+* ess_per_hour — fixed-proposal ESS/hour from a >=2000-step window with
+  tau_int and a window_capped flag alongside,
+* large_scale — the reference-scale fixture (101 params, 455k events,
+  3 samples, 2,182 bins): step time + full-LLH time at 128 chains,
+* hmc_large_grad_budget / chees_hmc_large — the gradient path at reference
+  scale (fused analytic-VJP vs forward), with dispatch-floor-corrected
+  component times (iters>=20 + measured noop subtraction, r4 verdict #7),
+* chains_1024, large700, shard_map_parity, parallel_tempering,
+  component_ms — secondary record points,
 * floors — regression guards (headline, large-scale step, grad ratio),
 * budget — wall-clock accounting: per-section seconds, skipped sections.
 
-DELIVERY CONTRACT (r3 verdict #1: the r3 bench was timeout-killed before
-printing anything): the run works against a wall-clock budget
-(MACH3_BENCH_BUDGET_S, default 1500 s — safely under the driver envelope).
-Before each section the remaining budget is checked; sections that do not
-fit are skipped with an explicit {"skipped": "budget"} marker. The JSON
-line is flushed with whatever completed — at normal exit, and from a
-SIGTERM/SIGALRM handler if the harness kills the run anyway. Sections are
-ordered so the headline + production-sampler + reference-scale numbers land
-first. Matches the reference's always-reporting benchmark stance
-(``/root/reference/.github/workflows/Benchmark.yml:28-80``).
+DELIVERY CONTRACT (r3 verdict #1, r4 verdict #1): the run works against a
+wall-clock budget (MACH3_BENCH_BUDGET_S, default 1500 s). Every section has
+(a) a pre-check against the remaining budget with an explicit
+{"skipped": "budget"} marker, and (b) its OWN hard deadline via SIGALRM —
+a section that hangs (r4: chees_hmc_large stalled >20 min and destroyed the
+rest of the record) is abandoned with an error marker and the run moves on.
+Fixtures are disk-cached (``core/fixture_cache``) so rebuild time (~200 s/run
+in r4) is paid once per code change, not per run. The JSON line is flushed
+with whatever completed — at normal exit, and from a SIGTERM/SIGALRM handler
+if the harness kills the run anyway. Sections are ordered so the core record
+(parity gate, headline, production sampler, reference scale, gradient path,
+1024 chains, large700) lands first.
 
-Environment knobs: MACH3_BENCH_{LARGE,HMC,PT,ADAPTIVE,LARGE700}=0 skip
-sections; MACH3_BENCH_SMALL=1 shrinks every size for CI shape checks
-(numbers are then meaningless — the driver runs the full sizes on TPU).
+Environment knobs: MACH3_BENCH_{LARGE,HMC,PT,ADAPTIVE,LARGE700,SHARD,
+COMPONENTS}=0 skip sections; MACH3_BENCH_SMALL=1 shrinks every size for CI
+shape checks (numbers are then meaningless — the driver runs the full sizes
+on TPU); MACH3_FIXTURE_CACHE_OFF=1 disables the fixture cache.
 
 vs_baseline: the reference's stated ND-fit target is "<0.1 s/step
 eventually" on CPU for a comparable reweight
@@ -51,17 +54,21 @@ import signal
 import sys
 import time
 
-# Throughput anchors for the regression floors. r01/r02 are
-# driver-recorded (BENCH_r01/r02.json); the r03 values were measured by the
-# builder on one v5e but never landed in a driver artifact (the r3 bench was
-# timeout-killed) — they are labelled as such until BENCH_r04 records them.
+# Throughput anchors for the regression floors. r01/r02 are driver-recorded
+# (BENCH_r01/r02.json); the r4 numbers are the judge's own two bench
+# executions on one v5e (VERDICT round 4) — the reproducible cold-run band.
 R01_HEADLINE = 44_768.0
-R03_HEADLINE_BUILDER = 67_546.0
-R03_LARGE_STEP_MS_BUILDER = 24.6
+R04_HEADLINE_JUDGE = 76_695.0
+R04_LARGE_STEP_MS_JUDGE = 13.58
+
+
+class SectionTimeout(Exception):
+    """Raised by the SIGALRM handler when a section overruns its deadline."""
 
 
 class Bench:
-    """Wall-clock-budgeted benchmark run with incremental JSON flush."""
+    """Wall-clock-budgeted benchmark run with per-section deadlines and
+    incremental JSON flush."""
 
     def __init__(self) -> None:
         self.t0 = time.monotonic()
@@ -76,11 +83,10 @@ class Bench:
         self.skipped: dict = {}
         self._flushed = False
         self._t_stage = time.monotonic()
+        self._section: str | None = None
         signal.signal(signal.SIGTERM, self._on_signal)
         signal.signal(signal.SIGALRM, self._on_signal)
-        # Hard backstop: if a single device op hangs past the budget, the
-        # alarm still flushes whatever has been recorded.
-        signal.alarm(int(self.budget_s) + 90)
+        self._arm_backstop()
 
     # ---------------------------------------------------------- bookkeeping
     def elapsed(self) -> float:
@@ -89,10 +95,15 @@ class Bench:
     def remaining(self) -> float:
         return self.budget_s - self.elapsed()
 
+    def _arm_backstop(self) -> None:
+        # Hard backstop: if an op hangs outside any section, the alarm still
+        # flushes whatever has been recorded.
+        signal.alarm(max(int(self.budget_s + 90 - self.elapsed()), 5))
+
     def fits(self, name: str, est_s: float) -> bool:
         """Deadline check before a section; records an explicit skip marker
         when the estimated cost does not fit the remaining budget."""
-        if self.remaining() >= est_s * 1.15:
+        if self.remaining() >= est_s * 1.1:
             return True
         self.skipped[name] = {
             "skipped": "budget",
@@ -103,6 +114,47 @@ class Bench:
               f"{self.remaining():.0f}s", file=sys.stderr, flush=True)
         return False
 
+    def section(self, name, est_s, fn, gate=None, deadline_s=None, dest=None):
+        """Run ``fn()`` under this section's own hard deadline.
+
+        * gate: MACH3_BENCH_<gate>=0 skips with a marker.
+        * deadline: SIGALRM at min(deadline, remaining+60); overrun abandons
+          the section with an error marker instead of killing the run
+          (r4: one hung section lost everything queued behind it).
+        * dest: result key for fn's return dict (default: name;
+          False = fn mutates self.result itself).
+        Returns fn's result, or None on skip/timeout/error.
+        """
+        if gate is not None and os.environ.get(f"MACH3_BENCH_{gate}", "1") == "0":
+            self.skipped[name] = {"skipped": f"MACH3_BENCH_{gate}=0"}
+            return None
+        if not self.fits(name, est_s):
+            return None
+        deadline = deadline_s if deadline_s is not None else max(2.0 * est_s, 120.0)
+        deadline = min(deadline, self.remaining() + 60.0)
+        self._section = name
+        signal.alarm(max(int(deadline), 5))
+        out, err = None, None
+        try:
+            out = fn()
+        except SectionTimeout:
+            err = f"section deadline exceeded ({deadline:.0f}s)"
+        except Exception as exc:  # pragma: no cover
+            err = f"{type(exc).__name__}: {str(exc)[:300]}"
+        finally:
+            self._section = None
+            self._arm_backstop()
+        key = name if dest is None else dest
+        if err is not None:
+            print(f"# ERROR {name}: {err}", file=sys.stderr, flush=True)
+            if dest is not False:
+                self.result[key] = {"error": err}
+            out = None
+        elif dest is not False and out is not None:
+            self.result[key] = out
+        self.stage(name + (" [FAILED]" if err else ""))
+        return out
+
     def stage(self, msg: str) -> None:
         dt = time.monotonic() - self._t_stage
         self.stage_s[msg] = round(dt, 1)
@@ -111,6 +163,8 @@ class Bench:
               file=sys.stderr, flush=True)
 
     def _on_signal(self, signum, frame) -> None:  # pragma: no cover
+        if signum == signal.SIGALRM and self._section is not None:
+            raise SectionTimeout(self._section)
         self.result.setdefault("terminated_by", signal.Signals(signum).name)
         self.flush()
         os._exit(0)
@@ -139,7 +193,7 @@ def scan_time(jax, jnp, fn, mdl, *arrs, iters=20):
     Caveat (measured): each CALL of the compiled scan carries ~25 ms of
     tunnel dispatch, i.e. the reported per-iteration number includes a
     +25/iters ms offset — compare components only after subtracting a noop
-    measured at the same iters."""
+    measured at the same iters (see noop_floor)."""
     def run(m, *arrs_):
         def body(carry, _):
             a0 = arrs_[0] + carry * 0
@@ -154,6 +208,12 @@ def scan_time(jax, jnp, fn, mdl, *arrs, iters=20):
     t0 = time.perf_counter()
     jax.block_until_ready(g(mdl, *arrs))
     return (time.perf_counter() - t0) / iters
+
+
+def noop_floor(jax, jnp, mdl, arr, iters=20):
+    """Measured per-iteration dispatch/overhead floor of scan_time at these
+    iters: the same harness around a body that only touches the carry."""
+    return scan_time(jax, jnp, lambda m, t: jnp.sum(t), mdl, arr, iters=iters)
 
 
 def jitter_init(np, model, theta0, n_chains, rng, frac=0.05):
@@ -173,10 +233,10 @@ def jitter_init(np, model, theta0, n_chains, rng, frac=0.05):
 
 def ess_report(jax, jnp, np, draws, wall_s):
     """ESS/hour + tau_int from a draws window [S, C, P] (chains pooled,
-    min/median over params). r3 verdict #5: short windows (200 steps) made
-    `effective_sample_size` mostly estimator noise; the driver-visible
-    record now carries the window length and tau_int so the window/tau
-    ratio is auditable."""
+    min/median over params). Short windows make the estimator mostly noise
+    (r3 verdict #5), so the window length and tau_int ride along; when the
+    estimator pins at window/tau (window_capped), min ESS/hour is a LOWER
+    BOUND, not a measurement (r4 verdict weak #3)."""
     from mach3_tpu.diagnostics.autocorr import effective_sample_size
 
     s = draws.shape[0]
@@ -189,30 +249,77 @@ def ess_report(jax, jnp, np, draws, wall_s):
     tau = s / np.maximum(ess, 1e-9)  # per chain/param
     tot = ess.sum(axis=0)  # pooled over chains, per param
     hours = wall_s / 3600.0
+    tau_max = float(tau.max())
     return {
         "min": round(float(tot.min() / hours), 1),
         "median": round(float(np.median(tot) / hours), 1),
         "steps_measured": int(s),
         "tau_int": {
             "median": round(float(np.median(tau)), 1),
-            "max": round(float(tau.max()), 1),
+            "max": round(tau_max, 1),
         },
+        "window_capped": bool(tau_max > s / 5.0),
     }
+
+
+def parity_check(jax, jnp, np, model, thetas, rtol):
+    """ON-DEVICE fused-vs-XLA NLL agreement per sample (r4 verdict #3): the
+    recorded kernel speeds are only meaningful if the Mosaic-compiled
+    kernels produce the XLA reference answer ON HARDWARE (interpret-mode
+    tests validate logic, not lowering). Returns per-sample rel-err and
+    raises on disagreement — a fast-but-wrong kernel must fail the bench."""
+    def fused_all(m, t):
+        tabs = m._shared_osc_tables(t)
+        return jnp.stack(
+            [s.log_likelihood_batch(t, osc_grids_batch=tabs[i])
+             for i, s in enumerate(m.samples)]
+        )
+
+    def xla_all(m, t):
+        tabs = m._shared_osc_tables(t)
+        return jnp.stack(
+            [s.log_likelihood_batch_xla(t, osc_grids_batch=tabs[i])
+             for i, s in enumerate(m.samples)]
+        )
+
+    a = np.asarray(jax.jit(fused_all)(model, thetas))
+    b = np.asarray(jax.jit(xla_all)(model, thetas))
+    rel = np.abs(a - b) / np.maximum(np.abs(b), 1e-12)
+    out = {}
+    for i, s in enumerate(model.samples):
+        route = getattr(getattr(s, "kernel_route", None), "variant", "xla")
+        out[s.name] = {
+            "route": route,
+            "relerr_max": float(f"{rel[i].max():.3g}"),
+            "ok": bool(rel[i].max() < rtol),
+        }
+    if not all(v["ok"] for v in out.values()):
+        raise AssertionError(f"ON-DEVICE PARITY FAILURE: {out}")
+    return out
 
 
 def main() -> None:
     b = Bench()
-    # Allow a CPU backend next to the TPU one so build-time work (Asimov data)
-    # avoids minutes of remote TPU compilation; the fit itself runs on TPU.
+    # Allow a CPU backend next to the TPU one so build-time work (fixture
+    # construction, ESS analysis) avoids minutes of remote-TPU round-trips;
+    # the fit itself runs on the accelerator.
     if os.environ.get("JAX_PLATFORMS") and "cpu" not in os.environ["JAX_PLATFORMS"]:
         os.environ["JAX_PLATFORMS"] = os.environ["JAX_PLATFORMS"] + ",cpu"
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/mach3_jax_cache")
+    # The axon remote compiler DOES hit the local persistent compile cache
+    # (verified r5: 132 s cold -> 0.3 s across processes). Keep it in the
+    # repo so warm entries survive whatever happens to /tmp; a cold cache
+    # only costs budget-skip markers on the tail sections.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("MACH3_JAX_CACHE", "/root/repo/.jax_cache"),
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
     import numpy as np
 
+    from mach3_tpu.core.fixture_cache import load_or_build
     from mach3_tpu.fitters.mcmc import MR2T2, MCMCConfig
     from mach3_tpu.tutorial.toy import build_toy
 
@@ -222,270 +329,360 @@ def main() -> None:
     n_steps = 60 if small else 2000  # >=2000: ESS window (r3 verdict #5)
     e_grid = 40 if small else 200
     res = b.result
+    cpu0 = jax.local_devices(backend="cpu")[0]
+    try:
+        dev0 = jax.devices()[0]
+    except RuntimeError:
+        dev0 = cpu0
 
-    # ---- headline: fixed-proposal MR2T2 throughput + long-window ESS
-    toy = build_toy(
-        n_events=n_events, seed=42, e_grid_size=e_grid,
-        use_pallas="auto" if small else True,
-    )
+    def put(tree):
+        """One explicit H2D placement of a model pytree (build/load happens
+        on CPU so fixture construction never touches the device tunnel)."""
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, dev0) if hasattr(x, "dtype") else x, tree
+        )
+
+    # ---- fixtures: disk-cached builds (r4 verdict #1a), built on CPU
+    toy_kwargs = dict(n_events=n_events, seed=42, e_grid_size=e_grid,
+                      use_pallas="auto" if small else True)
+    with jax.default_device(cpu0):
+        toy = load_or_build(
+            "bench_toy", lambda: build_toy(**toy_kwargs), kwargs=toy_kwargs,
+        )
+    toy_model = put(toy.model)
     b.stage("build_toy")
     theta0 = np.asarray(toy.model.prefit_vector())
     rng = np.random.default_rng(0)
     init = jitter_init(np, toy.model, theta0, n_chains, rng)
 
-    fitter = MR2T2(toy.model, MCMCConfig(n_steps=n_steps, chunk_size=250), init, seed=1)
-    # Warm up with ONE FULL-SIZE chunk: a different warmup length would
-    # compile a different scan and the measured window would pay a fresh
-    # compile (observed: 15k "steps/s" headline from exactly this).
-    fitter.run(n_steps=250 if not small else n_steps)  # compile + warm-up
-    b.stage("headline warmup (compile + 50 steps)")
-    t0 = time.perf_counter()
-    out = fitter.run(n_steps=n_steps)
-    jax.block_until_ready(fitter.state.theta)
-    dt = time.perf_counter() - t0
-    chain_steps_per_sec = n_steps * n_chains / dt
-    b.stage(f"headline run ({chain_steps_per_sec:,.0f} chain-steps/s)")
-    res.update(
-        value=round(chain_steps_per_sec, 2),
-        unit=f"chain-steps/s ({n_chains} chains x {n_events} events, 1 chip)",
-        vs_baseline=round(chain_steps_per_sec / 10.0, 2),
-        vs_baseline_note=(
-            "anchor is the reference's aspirational '<0.1 s/step' "
-            "ND-reweight note (10 steps/s, 1 chain), not a measured "
-            "number — BASELINE.json is empty"
-        ),
-    )
-    if not small:
-        res["floors"] = {
-            "headline": {
-                "r01_recorded_anchor": R01_HEADLINE,
-                "r03_builder_anchor": R03_HEADLINE_BUILDER,
-                "ratio_vs_r01": round(chain_steps_per_sec / R01_HEADLINE, 3),
-                "ratio_vs_r03": round(chain_steps_per_sec / R03_HEADLINE_BUILDER, 3),
-                "regressed": bool(chain_steps_per_sec < 0.8 * R03_HEADLINE_BUILDER),
-            }
-        }
+    # ---- parity gate (toy) BEFORE the numbers it guards
+    def sec_parity_toy():
+        if small:
+            return {"skipped": "small mode (no compiled-Mosaic route on CPU)"}
+        th_p = jnp.asarray(jitter_init(np, toy.model, theta0, 4, rng))
+        return parity_check(jax, jnp, np, toy_model, th_p, rtol=1e-4)
 
-    try:
-        res["ess_per_hour"] = ess_report(jax, jnp, np, out["theta"], dt)
-        b.stage("ess (long window)")
-    except Exception as exc:  # pragma: no cover
-        res["ess_per_hour"] = {"error": str(exc)[:200]}
+    b.section("parity_toy", 60, sec_parity_toy, dest="parity_toy")
+
+    # ---- headline: fixed-proposal MR2T2 throughput + long-window ESS
+    def sec_headline():
+        fitter = MR2T2(toy_model, MCMCConfig(n_steps=n_steps, chunk_size=250),
+                       init, seed=1)
+        # Warm up with ONE FULL-SIZE chunk: a different warmup length would
+        # compile a different scan and the measured window would pay a fresh
+        # compile (observed: 15k "steps/s" headline from exactly this).
+        fitter.run(n_steps=250 if not small else n_steps)
+        b.stage("headline warmup (compile + 250 steps)")
+        t0 = time.perf_counter()
+        out = fitter.run(n_steps=n_steps)
+        jax.block_until_ready(fitter.state.theta)
+        dt = time.perf_counter() - t0
+        sps = n_steps * n_chains / dt
+        res.update(
+            value=round(sps, 2),
+            unit=f"chain-steps/s ({n_chains} chains x {n_events} events, 1 chip)",
+            vs_baseline=round(sps / 10.0, 2),
+            vs_baseline_note=(
+                "anchor is the reference's aspirational '<0.1 s/step' "
+                "ND-reweight note (10 steps/s, 1 chain), not a measured "
+                "number — BASELINE.json is empty"
+            ),
+        )
+        if not small:
+            res["floors"] = {
+                "headline": {
+                    "r01_recorded_anchor": R01_HEADLINE,
+                    "r04_judge_anchor": R04_HEADLINE_JUDGE,
+                    "ratio_vs_r04": round(sps / R04_HEADLINE_JUDGE, 3),
+                    "regressed": bool(sps < 0.85 * R04_HEADLINE_JUDGE),
+                }
+            }
+        try:
+            res["ess_per_hour"] = ess_report(jax, jnp, np, out["theta"], dt)
+        except Exception as exc:  # pragma: no cover
+            res["ess_per_hour"] = {"error": str(exc)[:200]}
+        return sps
+
+    sps = b.section("headline", 150, sec_headline, dest=False, deadline_s=420)
+    chain_steps_per_sec = sps or 1.0
 
     # ---- PRODUCTION sampler: pooled Haario + Robbins-Monro adaptive MCMC
-    if os.environ.get("MACH3_BENCH_ADAPTIVE", "1") != "0" and b.fits("adaptive", 90):
-        try:
-            n_ad = 100 if small else 2000
-            cfg_ad = MCMCConfig(
-                n_steps=n_ad, chunk_size=250, adaptive=True,
-                adaption_mode="pooled", adaption_start_update=50,
-                adaption_start_throw=200, adaption_update_step=100,
-            )
-            fa = MR2T2(toy.model, cfg_ad, init, seed=2)
-            fa.run(n_steps=500 if not small else n_ad)  # compile + adapt (chunk-aligned)
-            t0 = time.perf_counter()
-            out_a = fa.run(n_steps=n_ad)
-            jax.block_until_ready(fa.state.theta)
-            dt_a = time.perf_counter() - t0
-            res["adaptive"] = {
-                "chain_steps_per_sec": round(n_ad * n_chains / dt_a, 1),
-                "acceptance": round(float(np.mean(out_a["accepted"])), 3),
-                "ess_per_hour": ess_report(jax, jnp, np, out_a["theta"], dt_a),
-                "vs_fixed_steps_per_sec": round(
-                    (n_ad * n_chains / dt_a) / chain_steps_per_sec, 3
-                ),
-            }
-            b.stage("adaptive (production sampler)")
-        except Exception as exc:  # pragma: no cover
-            res["adaptive"] = {"error": str(exc)[:200]}
+    def sec_adaptive():
+        n_ad = 100 if small else 2000
+        cfg_ad = MCMCConfig(
+            n_steps=n_ad, chunk_size=250, adaptive=True,
+            adaption_mode="pooled", adaption_start_update=50,
+            adaption_start_throw=200, adaption_update_step=100,
+        )
+        fa = MR2T2(toy_model, cfg_ad, init, seed=2)
+        fa.run(n_steps=500 if not small else n_ad)  # compile + adapt (chunk-aligned)
+        t0 = time.perf_counter()
+        out_a = fa.run(n_steps=n_ad)
+        jax.block_until_ready(fa.state.theta)
+        dt_a = time.perf_counter() - t0
+        return {
+            "chain_steps_per_sec": round(n_ad * n_chains / dt_a, 1),
+            "acceptance": round(float(np.mean(out_a["accepted"])), 3),
+            "ess_per_hour": ess_report(jax, jnp, np, out_a["theta"], dt_a),
+            "vs_fixed_steps_per_sec": round(
+                (n_ad * n_chains / dt_a) / chain_steps_per_sec, 3
+            ),
+        }
 
-    # ---- build the reference-scale fixture (shared by the next sections)
+    b.section("adaptive", 100, sec_adaptive, gate="ADAPTIVE", dest="adaptive",
+              deadline_s=300)
+
+    # ---- reference-scale fixture (shared by the next sections)
     exp = None
+    exp_model = None
     if os.environ.get("MACH3_BENCH_LARGE", "1") != "0" and not small and b.fits(
-        "build_large", 200
+        "build_large", 120
     ):
-        try:
+        def sec_build_large():
             from mach3_tpu.tutorial.large import build_large
 
-            exp = build_large(use_pallas=True, low_memory=True)
-            b.stage("build_large")
-        except Exception as exc:  # pragma: no cover
-            res["large_scale"] = {"error": str(exc)[:300]}
+            kw = dict(use_pallas=True, low_memory=True)
+            with jax.default_device(cpu0):
+                e = load_or_build(
+                    "bench_large", lambda: build_large(**kw), kwargs=kw,
+                    validate=lambda e: e.model.n_params == 101,
+                )
+            return e
 
-    # ---- gradient path at reference scale: fused-VJP budget + ChEES-HMC
-    # (r3 verdict #4: these have never landed in a driver artifact — they
-    # run BEFORE the large-scale component sweep so a budget squeeze hits
-    # the secondary numbers, not these)
-    if (
-        os.environ.get("MACH3_BENCH_HMC", "1") != "0"
-        and exp is not None
-        and b.fits("hmc_large", 500)
-    ):
-        try:
-            from mach3_tpu.fitters.hmc import HMC, HMCConfig
+        exp = b.section("build_large", 120, sec_build_large, dest=False,
+                        deadline_s=420)
+        if exp is not None:
+            exp_model = put(exp.model)
+            b.stage("large device_put")
 
-            c_g = 64
-            th_g = jnp.asarray(jitter_init(
-                np, exp.model, np.asarray(exp.model.prefit_vector()), c_g, rng
+    # ---- parity gate (large) before the reference-scale numbers
+    if exp_model is not None:
+        def sec_parity_large():
+            th_p = jnp.asarray(jitter_init(
+                np, exp.model, np.asarray(exp.model.prefit_vector()), 2, rng
             ))
-            fwd = scan_time(
-                jax, jnp, lambda m, t: m.log_posterior_batch(t),
-                exp.model, th_g, iters=5,
-            )
-            grad = scan_time(
-                jax, jnp,
-                lambda m, t: jax.grad(lambda tt: jnp.sum(m.log_posterior_batch(tt)))(t),
-                exp.model, th_g, iters=5,
-            )
-            fused = scan_time(
-                jax, jnp, lambda m, t: m.total_nll_batch(t),
-                exp.model, th_g, iters=5,
-            )
-            res["hmc_large_grad_budget"] = {
-                "chains": c_g,
-                "diff_forward_ms": round(1e3 * fwd, 2),
-                "diff_grad_ms": round(1e3 * grad, 2),
-                "fused_forward_ms": round(1e3 * fused, 2),
-                "diff_fwd_over_fused": round(fwd / fused, 2),
-                "grad_over_fused": round(grad / fused, 2),
-            }
-            res.setdefault("floors", {})["grad_over_fused"] = {
-                "value": round(grad / fused, 2),
-                "regressed": bool(grad / fused > 6.0),
-            }
-            # The pure-XLA-grad baseline costs ~15 min of (uncacheable
-            # remote) compile for a number that is stable run to run.
-            # Re-measure with MACH3_BENCH_XLA_GRAD=1; otherwise report the
-            # r3 builder measurement explicitly marked as cached/stale.
-            if os.environ.get("MACH3_BENCH_XLA_GRAD", "0") == "1":
-                try:
-                    def _lp_xla(m, t_):
-                        tabs = m._shared_osc_tables(t_)
-                        total = jnp.zeros((t_.shape[0],))
-                        for i, s in enumerate(m.samples):
-                            total = total - s.log_likelihood_batch_xla(
-                                t_, osc_grids_batch=tabs[i]
-                            )
-                        return total
+            return parity_check(jax, jnp, np, exp_model, th_p, rtol=1e-4)
 
-                    grad_x = scan_time(
-                        jax, jnp,
-                        lambda m, t: jax.grad(lambda tt: jnp.sum(_lp_xla(m, tt)))(t),
-                        exp.model, th_g, iters=3,
-                    )
-                    res["hmc_large_grad_budget"]["xla_grad_ms"] = round(
-                        1e3 * grad_x, 2
-                    )
-                    res["hmc_large_grad_budget"]["fused_grad_speedup"] = (
-                        round(grad_x / grad, 2)
-                    )
-                except Exception as exc:  # pragma: no cover
-                    res["hmc_large_grad_budget"]["xla_grad_error"] = str(exc)[:200]
-            else:
-                res["hmc_large_grad_budget"]["xla_grad_baseline"] = {
-                    "cached": True,
-                    "measured_round": 3,
-                    "ms": 263.12,
-                    "note": "builder measurement, NOT re-measured this run; "
-                    "set MACH3_BENCH_XLA_GRAD=1 to re-measure",
-                }
-            b.stage("large grad budget")
+        b.section("parity_large", 140, sec_parity_large, dest="parity_large",
+                  deadline_s=360)
 
-            # ChEES-HMC SAMPLER at reference scale — the capability the
-            # reference cannot have, at the scale that matters.
-            hl = HMC(
-                exp.model,
-                HMCConfig(
-                    step_size=0.02, adapt_steps=60, adapt_trajectory=True,
-                    max_leapfrog=16, chunk_size=20,
-                ),
-                np.asarray(th_g),
-                seed=8,
-            )
-            hl.run(n_steps=80)  # compile + warm-up + adaptation
-            n_hl = 60
-            t0 = time.perf_counter()
-            out_hl = hl.run(n_steps=n_hl)
-            jax.block_until_ready(hl.state.theta)
-            dt_hl = time.perf_counter() - t0
-            res["chees_hmc_large"] = {
-                "chains": c_g,
-                "steps_per_sec": round(n_hl * c_g / dt_hl, 1),
-                "acceptance": round(float(hl.acceptance_rate.mean()), 3),
-                "ess_per_hour": ess_report(jax, jnp, np, out_hl["theta"], dt_hl),
-            }
-            b.stage("chees-hmc large")
-        except Exception as exc:  # pragma: no cover
-            key = (
-                "chees_hmc_large"
-                if "hmc_large_grad_budget" in res
-                else "hmc_large_grad_budget"
-            )
-            res[key] = {"error": str(exc)[:300]}
-
-    # ---- reference-scale fixture: step time + NLL (+reweight detail)
-    if (
-        os.environ.get("MACH3_BENCH_LARGE", "1") != "0"
-        and exp is not None
-        and "large_scale" not in res
-        and b.fits("large_scale", 300)
-    ):
-        try:
+    # ---- reference-scale fixture: step time + full LLH at 128 chains
+    if exp_model is not None:
+        def sec_large_scale():
             c_large = 128  # near the per-chain/per-chip throughput sweet spot
             th_l = jnp.asarray(jitter_init(
                 np, exp.model, np.asarray(exp.model.prefit_vector()), c_large, rng
             ))
-            dt_nll = scan_time(jax, jnp, lambda m, t: m.total_nll_batch(t), exp.model, th_l, iters=10)
+            iters_n = 20
+            dt_nll = scan_time(jax, jnp, lambda m, t: m.total_nll_batch(t),
+                               exp_model, th_l, iters=iters_n)
+            floor = noop_floor(jax, jnp, exp_model, th_l, iters=iters_n)
             init_l = np.asarray(th_l)
-            fl = MR2T2(exp.model, MCMCConfig(n_steps=60, chunk_size=30), init_l, seed=4)
+            fl = MR2T2(exp_model, MCMCConfig(n_steps=60, chunk_size=30),
+                       init_l, seed=4)
             fl.run(n_steps=30)
             t0 = time.perf_counter()
             fl.run(n_steps=60)
             jax.block_until_ready(fl.state.theta)
             dt_l = time.perf_counter() - t0
             step_ms = 1e3 * dt_l / 60
-            res["large_scale"] = {
+            out = {
                 "n_params": exp.n_params,
-                "n_events": sum(s.n_events for s in exp.samples),
-                "n_bins": sum(s.n_bins for s in exp.samples),
+                "n_events": sum(s.n_events for s in exp.model.samples),
+                "n_bins": sum(s.n_bins for s in exp.model.samples),
                 "chains": c_large,
                 "chain_steps_per_sec": round(60 * c_large / dt_l, 1),
                 "step_ms": round(step_ms, 2),
                 "total_nll_ms": round(1e3 * dt_nll, 2),
+                "total_nll_ms_corrected": round(1e3 * (dt_nll - floor), 2),
+                "dispatch_floor_ms": round(1e3 * floor, 2),
             }
             res.setdefault("floors", {})["large_step_ms"] = {
-                "r03_builder_anchor": R03_LARGE_STEP_MS_BUILDER,
-                "ratio_vs_r03": round(step_ms / R03_LARGE_STEP_MS_BUILDER, 3),
-                "regressed": bool(step_ms > 1.4 * R03_LARGE_STEP_MS_BUILDER),
+                "r04_judge_anchor": R04_LARGE_STEP_MS_JUDGE,
+                "ratio_vs_r04": round(step_ms / R04_LARGE_STEP_MS_JUDGE, 3),
+                "regressed": bool(step_ms > 1.2 * R04_LARGE_STEP_MS_JUDGE),
             }
-            b.stage("large-scale")
-            # Per-sample reweight detail costs three more (uncached remote)
-            # compiles — opt-in, the step/NLL numbers above are the record.
-            if os.environ.get("MACH3_BENCH_RW_DETAIL", "0") == "1" and b.fits(
-                "large_rw_detail", 240
-            ):
-                rw = {}
-                for s in exp.samples:
-                    d = scan_time(jax, jnp, lambda m, t: m.reweight_batch(t), s, th_l, iters=10)
-                    rw[s.name] = {
-                        "ms": round(1e3 * d, 3),
-                        "events_per_sec": round(s.n_events * c_large / d, 0),
-                        "route": s.kernel_route.variant,
-                    }
-                res["large_scale"]["reweight"] = rw
-                b.stage("large reweight detail")
-        except Exception as exc:  # pragma: no cover
-            res["large_scale"] = {"error": str(exc)[:300]}
+            return out
+
+        b.section("large_scale", 280, sec_large_scale, dest="large_scale",
+                  deadline_s=480)
+
+    # ---- gradient-path budget at reference scale (separate gate from the
+    # ChEES sampler, r4 verdict weak #1: one hung section must not cost the
+    # cheap, valuable numbers their chance)
+    th_g = None
+    if exp_model is not None and os.environ.get("MACH3_BENCH_HMC", "1") != "0":
+        c_g = 64
+        th_g = jnp.asarray(jitter_init(
+            np, exp.model, np.asarray(exp.model.prefit_vector()), c_g, rng
+        ))
+
+        def sec_grad_budget():
+            iters_g = 20  # r4 verdict #7: iters=5 carried a ~5 ms/iter offset
+            floor = noop_floor(jax, jnp, exp_model, th_g, iters=iters_g)
+            fused = scan_time(
+                jax, jnp, lambda m, t: m.total_nll_batch(t),
+                exp_model, th_g, iters=iters_g,
+            )
+            fwd = scan_time(
+                jax, jnp, lambda m, t: m.log_posterior_batch(t),
+                exp_model, th_g, iters=iters_g,
+            )
+            grad = scan_time(
+                jax, jnp,
+                lambda m, t: jax.grad(
+                    lambda tt: jnp.sum(m.log_posterior_batch(tt)))(t),
+                exp_model, th_g, iters=iters_g,
+            )
+            fwd_c, grad_c, fused_c = fwd - floor, grad - floor, fused - floor
+            out = {
+                "chains": c_g,
+                "iters": iters_g,
+                "dispatch_floor_ms": round(1e3 * floor, 2),
+                "diff_forward_ms": round(1e3 * fwd_c, 2),
+                "diff_grad_ms": round(1e3 * grad_c, 2),
+                "fused_forward_ms": round(1e3 * fused_c, 2),
+                "diff_fwd_over_fused": round(fwd_c / fused_c, 2),
+                "grad_over_fused": round(grad_c / fused_c, 2),
+            }
+            res.setdefault("floors", {})["grad_over_fused"] = {
+                "value": round(grad_c / fused_c, 2),
+                "regressed": bool(grad_c / fused_c > 6.0),
+            }
+            # The pure-XLA-grad baseline costs ~15 min of (uncacheable
+            # remote) compile for a number that is stable run to run.
+            # Re-measure with MACH3_BENCH_XLA_GRAD=1; otherwise report the
+            # r3 builder measurement explicitly marked as cached/stale.
+            if os.environ.get("MACH3_BENCH_XLA_GRAD", "0") == "1":
+                def _lp_xla(m, t_):
+                    tabs = m._shared_osc_tables(t_)
+                    total = jnp.zeros((t_.shape[0],))
+                    for i, s in enumerate(m.samples):
+                        total = total - s.log_likelihood_batch_xla(
+                            t_, osc_grids_batch=tabs[i]
+                        )
+                    return total
+
+                grad_x = scan_time(
+                    jax, jnp,
+                    lambda m, t: jax.grad(lambda tt: jnp.sum(_lp_xla(m, tt)))(t),
+                    exp_model, th_g, iters=3,
+                )
+                out["xla_grad_ms"] = round(1e3 * grad_x, 2)
+                out["fused_grad_speedup"] = round(grad_x / grad_c, 2)
+            else:
+                out["xla_grad_baseline"] = {
+                    "cached": True,
+                    "measured_round": 3,
+                    "ms": 263.12,
+                    "note": "builder measurement, NOT re-measured this run; "
+                    "set MACH3_BENCH_XLA_GRAD=1 to re-measure",
+                }
+            return out
+
+        b.section("hmc_large_grad_budget", 180, sec_grad_budget,
+                  dest="hmc_large_grad_budget", deadline_s=420)
+
+    # ---- ChEES-HMC SAMPLER at reference scale — the capability the
+    # reference cannot have, at the scale that matters. Its OWN section +
+    # deadline: three rounds of record destruction end here (r2 kernel
+    # fault, r3 timeout, r4 >20-min stall).
+    if exp_model is not None and th_g is not None:
+        def sec_chees_large():
+            from mach3_tpu.fitters.hmc import HMC, HMCConfig
+
+            c_g = th_g.shape[0]
+            hl = HMC(
+                exp_model,
+                HMCConfig(
+                    step_size=0.02, adapt_steps=60, adapt_trajectory=True,
+                    max_leapfrog=int(os.environ.get("MACH3_CHEES_MAXLF", 12)),
+                    chunk_size=int(os.environ.get("MACH3_CHEES_CHUNK", 10)),
+                    chees_static_bound=os.environ.get(
+                        "MACH3_CHEES_STATIC", "0") == "1",
+                ),
+                np.asarray(th_g),
+                seed=8,
+            )
+            hl.run(n_steps=80)  # compile + warm-up + adaptation
+            b.stage("chees_hmc_large compile+adapt")
+            n_hl = 60
+            t0 = time.perf_counter()
+            out_hl = hl.run(n_steps=n_hl)
+            jax.block_until_ready(hl.state.theta)
+            dt_hl = time.perf_counter() - t0
+            return {
+                "chains": c_g,
+                "steps_per_sec": round(n_hl * c_g / dt_hl, 1),
+                "acceptance": round(float(hl.acceptance_rate.mean()), 3),
+                "max_leapfrog": int(os.environ.get("MACH3_CHEES_MAXLF", 12)),
+                "ess_per_hour": ess_report(jax, jnp, np, out_hl["theta"], dt_hl),
+            }
+
+        b.section("chees_hmc_large", 260, sec_chees_large,
+                  dest="chees_hmc_large", deadline_s=480)
+
+    # ---- 1024-chain throughput point (r4 verdict #4: scaling regressed)
+    def sec_1024():
+        big_init = jitter_init(np, toy.model, theta0, 1024, rng)
+        ch = int(os.environ.get("MACH3_1024_CHUNK", 250))
+        f2 = MR2T2(toy_model, MCMCConfig(n_steps=2 * ch, chunk_size=ch),
+                   big_init, seed=3)
+        f2.run(n_steps=ch)
+        t0 = time.perf_counter()
+        f2.run(n_steps=2 * ch)
+        jax.block_until_ready(f2.state.theta)
+        dt2 = time.perf_counter() - t0
+        return {
+            "chain_steps_per_sec": round(2 * ch * 1024 / dt2, 1),
+            "chunk_size": ch,
+            "scaling_efficiency_vs_256": round(
+                (2 * ch * 1024 / dt2) / chain_steps_per_sec, 3
+            ),
+        }
+
+    if not small:
+        b.section("chains_1024", 90, sec_1024, dest="chains_1024",
+                  deadline_s=240)
+
+    # ---- the reference's upper envelope: ~700 params / ~1M events
+    def sec_large700():
+        from mach3_tpu.tutorial.large import build_large700
+
+        kw = dict(use_pallas=True)
+        with jax.default_device(cpu0):
+            exp7 = load_or_build(
+                "bench_large700", lambda: build_large700(**kw), kwargs=kw,
+            )
+        m7 = put(exp7.model)
+        b.stage("large700 build/load")
+        c_7 = 32
+        th_7 = jnp.asarray(jitter_init(
+            np, exp7.model, np.asarray(exp7.model.prefit_vector()), c_7, rng
+        ))
+        iters_7 = 10
+        dt_nll7 = scan_time(
+            jax, jnp, lambda m, t: m.total_nll_batch(t), m7, th_7, iters=iters_7
+        )
+        floor7 = noop_floor(jax, jnp, m7, th_7, iters=iters_7)
+        return {
+            "n_params": exp7.n_params,
+            "n_events": sum(s.n_events for s in exp7.model.samples),
+            "n_bins": sum(s.n_bins for s in exp7.model.samples),
+            "chains": c_7,
+            "total_nll_ms": round(1e3 * dt_nll7, 2),
+            "total_nll_ms_corrected": round(1e3 * (dt_nll7 - floor7), 2),
+            "chain_nll_per_sec": round(c_7 / dt_nll7, 1),
+        }
+
+    if not small:
+        b.section("large700", 260, sec_large700, gate="LARGE700",
+                  dest="large700", deadline_s=480)
 
     # ---- ADAPTIVE (production) sampler at reference scale: ESS/hour
-    if (
-        os.environ.get("MACH3_BENCH_ADAPTIVE", "1") != "0"
-        and exp is not None
-        and isinstance(res.get("large_scale"), dict)
-        and "error" not in res.get("large_scale", {})
-        and b.fits("large_adaptive", 120)
-    ):
-        try:
+    if exp_model is not None and isinstance(res.get("large_scale"), dict) \
+            and "error" not in res.get("large_scale", {}):
+        def sec_large_adaptive():
             c_large = 128
             init_l = jitter_init(
                 np, exp.model, np.asarray(exp.model.prefit_vector()), c_large, rng
@@ -496,7 +693,7 @@ def main() -> None:
                 adaption_mode="pooled", adaption_start_update=30,
                 adaption_start_throw=150, adaption_update_step=50,
             )
-            fal = MR2T2(exp.model, cfg_al, init_l, seed=6)
+            fal = MR2T2(exp_model, cfg_al, init_l, seed=6)
             fal.run(n_steps=200)  # compile + adaptation warm-up
             t0 = time.perf_counter()
             out_al = fal.run(n_steps=n_al)
@@ -507,163 +704,162 @@ def main() -> None:
                 "acceptance": round(float(np.mean(out_al["accepted"])), 3),
                 "ess_per_hour": ess_report(jax, jnp, np, out_al["theta"], dt_al),
             }
-            b.stage("large-scale adaptive")
-        except Exception as exc:  # pragma: no cover
-            res["large_scale"]["adaptive"] = {"error": str(exc)[:200]}
+            return res["large_scale"]["adaptive"]
 
-    # ---- ChEES-HMC on the toy
-    if os.environ.get("MACH3_BENCH_HMC", "1") != "0" and not small and b.fits(
-        "chees_hmc_toy", 150
-    ):
+        b.section("large_adaptive", 200, sec_large_adaptive, gate="ADAPTIVE",
+                  dest=False, deadline_s=360)
+
+    # ---- shard_map with COMPILED Mosaic kernels on the real chip (r4
+    # verdict #8: the sharded step had only ever run interpret-mode/CPU)
+    def sec_shard_parity():
+        from jax.sharding import Mesh
+
+        from mach3_tpu.distributed.mesh import CHAIN_AXIS, EVENT_AXIS
+        from mach3_tpu.distributed.shard_step import (
+            model_pspecs, prepare_model_for_shard_map,
+        )
         try:
-            from mach3_tpu.fitters.hmc import HMC, HMCConfig
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        import inspect
 
-            c_hmc = 64
-            init_h = jitter_init(np, toy.model, theta0, c_hmc, rng)
-            hmc = HMC(
-                toy.model,
-                HMCConfig(
-                    step_size=0.05, adapt_steps=150, adapt_trajectory=True,
-                    max_leapfrog=64, chunk_size=50,
-                ),
-                init_h,
-                seed=7,
+        ckw = ("check_vma" if "check_vma" in
+               inspect.signature(shard_map).parameters else "check_rep")
+        if dev0.platform == "cpu":
+            return {"skipped": "no accelerator"}
+        mesh = Mesh(np.asarray([dev0]).reshape(1, 1), (CHAIN_AXIS, EVENT_AXIS))
+        mdl_s = put(prepare_model_for_shard_map(toy.model, 1))
+        th_s = jnp.asarray(jitter_init(np, toy.model, theta0, 8, rng))
+
+        def nll_sharded(m, t):
+            f = shard_map(
+                lambda mm, tt: mm.total_nll_batch_parts(
+                    tt, event_axis=EVENT_AXIS)[0],
+                mesh=mesh,
+                in_specs=(model_pspecs(mdl_s), P(CHAIN_AXIS, None)),
+                out_specs=P(CHAIN_AXIS),
+                **{ckw: False},
             )
-            hmc.run(n_steps=200)  # compile + warm-up + adaptation
-            n_meas = 150
-            t0 = time.perf_counter()
-            out_h = hmc.run(n_steps=n_meas)
-            jax.block_until_ready(hmc.state.theta)
-            dt_h = time.perf_counter() - t0
-            res["chees_hmc"] = {
-                "chains": c_hmc,
-                "steps_per_sec": round(n_meas * c_hmc / dt_h, 1),
-                "acceptance": round(float(hmc.acceptance_rate.mean()), 3),
-                "traj_time": round(float(np.exp(np.asarray(hmc.state.log_traj))), 4),
-                "ess_per_hour": ess_report(jax, jnp, np, out_h["theta"], dt_h),
-            }
-            b.stage("chees-hmc toy")
-        except Exception as exc:  # pragma: no cover
-            res["chees_hmc"] = {"error": str(exc)[:200]}
+            return f(m, t)
 
-    # ---- per-step component budget + spline-reweight events/s (256 chains)
-    if b.fits("components", 60):
-        try:
-            thetas = jnp.asarray(init)
-            comp = {}
-            from mach3_tpu.params.state import propose_step_batch
+        a = np.asarray(jax.jit(nll_sharded)(mdl_s, th_s))
+        bb = np.asarray(
+            jax.jit(lambda m, t: m.total_nll_batch(t))(mdl_s, th_s)
+        )
+        rel = float(np.max(np.abs(a - bb) / np.maximum(np.abs(bb), 1e-12)))
+        return {
+            "mesh": "1 chain-shard x 1 event-shard (1 real chip)",
+            "use_pallas": True,
+            "relerr_vs_unsharded": float(f"{rel:.3g}"),
+            "ok": bool(rel < 1e-5),
+        }
 
-            key0 = jax.random.key(0)
-            comp["propose_ms"] = round(
-                1e3 * scan_time(
-                    jax, jnp,
-                    lambda m, th: propose_step_batch(m._flat(), th, key0),
-                    toy.model,
-                    thetas,
-                ), 3,
-            )
-            s0 = toy.model.samples[0]
-            dt_rw = scan_time(jax, jnp, lambda m, t: m.reweight_batch(t), s0, thetas)
-            comp["reweight_hist_ms"] = round(1e3 * dt_rw, 3)
-            res["spline_reweight_events_per_sec"] = round(
-                s0.n_events * n_chains / dt_rw, 0
-            )
-            if s0.osc is not None:
-                comp["osc_grids_ms"] = round(
-                    1e3 * scan_time(jax, jnp, lambda m, t: jax.vmap(m.osc_prob_grids)(t), s0, thetas), 3
-                )
-            comp["total_nll_ms"] = round(
-                1e3 * scan_time(jax, jnp, lambda m, t: m.total_nll_batch(t), toy.model, thetas), 3
-            )
-            res["component_ms"] = comp
-            b.stage("components")
-        except Exception as exc:  # pragma: no cover
-            res["component_ms"] = {"error": str(exc)[:200]}
+    if not small:
+        b.section("shard_map_parity", 120, sec_shard_parity, gate="SHARD",
+                  dest="shard_map_parity", deadline_s=300)
 
-    # ---- parallel tempering (multimodal production mode; octant physics)
-    if os.environ.get("MACH3_BENCH_PT", "1") != "0" and b.fits("parallel_tempering", 90):
-        try:
-            from mach3_tpu.fitters.tempering import ParallelTempering, PTConfig
+    # ---- SECONDARY sections (rotate-outable, r4 verdict #1c): only when
+    # the core record above has landed and budget remains.
 
-            n_w = 8 if small else 64
-            n_pt = 60 if small else 300
-            init_pt = jitter_init(np, toy.model, theta0, n_w, rng)
-            pt = ParallelTempering(
-                toy.model,
-                PTConfig(n_steps=n_pt, n_temps=6, max_temp=32.0, chunk_size=50),
-                init_pt,
-                seed=5,
-            )
-            pt.run(n_steps=50)
-            t0 = time.perf_counter()
-            pt.run(n_steps=n_pt)
-            jax.block_until_ready(pt.state.theta)
-            dt_pt = time.perf_counter() - t0
-            sw = np.asarray(pt.state.swap_accepts) / np.maximum(
-                np.asarray(pt.state.swap_attempts) * n_w, 1
-            )
-            res["parallel_tempering"] = {
-                "levels": 6,
-                "walkers": n_w,
-                "cold_chain_steps_per_sec": round(n_pt * n_w / dt_pt, 1),
-                "all_level_chain_steps_per_sec": round(n_pt * n_w * 6 / dt_pt, 1),
-                "swap_acceptance": [round(float(x), 3) for x in sw],
-            }
-            b.stage("parallel tempering")
-        except Exception as exc:  # pragma: no cover
-            res["parallel_tempering"] = {"error": str(exc)[:200]}
+    # per-step component budget + spline-reweight events/s (256 chains)
+    def sec_components():
+        thetas = jnp.asarray(init)
+        comp = {}
+        from mach3_tpu.params.state import propose_step_batch
 
-    # ---- 1024-chain throughput point
-    if not small and b.fits("chains_1024", 60):
-        try:
-            big_init = jitter_init(np, toy.model, theta0, 1024, rng)
-            f2 = MR2T2(toy.model, MCMCConfig(n_steps=100, chunk_size=50), big_init, seed=3)
-            f2.run(n_steps=50)
-            t0 = time.perf_counter()
-            f2.run(n_steps=100)
-            jax.block_until_ready(f2.state.theta)
-            dt2 = time.perf_counter() - t0
-            res["chains_1024"] = {
-                "chain_steps_per_sec": round(100 * 1024 / dt2, 1),
-                "scaling_efficiency_vs_256": round(
-                    (100 * 1024 / dt2) / chain_steps_per_sec, 3
-                ),
-            }
-            b.stage("1024 chains")
-        except Exception as exc:  # pragma: no cover
-            res["chains_1024"] = {"error": str(exc)[:200]}
+        iters_c = 40  # sub-ms components need iters>=40 (CLAUDE.md)
+        floor_c = noop_floor(jax, jnp, toy_model, thetas, iters=iters_c)
+        comp["dispatch_floor_ms"] = round(1e3 * floor_c, 3)
+        key0 = jax.random.key(0)
+        comp["propose_ms"] = round(
+            1e3 * (scan_time(
+                jax, jnp,
+                lambda m, th: propose_step_batch(m._flat(), th, key0),
+                toy_model, thetas, iters=iters_c,
+            ) - floor_c), 3,
+        )
+        s0 = toy_model.samples[0]
+        dt_rw = scan_time(jax, jnp, lambda m, t: m.reweight_batch(t), s0,
+                          thetas, iters=iters_c) - floor_c
+        comp["reweight_hist_ms"] = round(1e3 * dt_rw, 3)
+        res["spline_reweight_events_per_sec"] = round(
+            s0.n_events * n_chains / dt_rw, 0
+        )
+        comp["total_nll_ms"] = round(
+            1e3 * (scan_time(jax, jnp, lambda m, t: m.total_nll_batch(t),
+                             toy_model, thetas, iters=iters_c) - floor_c), 3
+        )
+        return comp
 
-    # ---- the reference's upper envelope: ~700 params / ~1M events
-    # (r3 verdict #3: SURVEY frames the workload as 10-700 dimensional,
-    # ~1M events; the largest thing ever run was 101 params / 510k events)
-    if (
-        os.environ.get("MACH3_BENCH_LARGE700", "1") != "0"
-        and not small
-        and b.fits("large700", 420)
-    ):
-        try:
-            from mach3_tpu.tutorial.large import build_large700
+    b.section("components", 90, sec_components, gate="COMPONENTS",
+              dest="component_ms", deadline_s=240)
 
-            exp7 = build_large700(use_pallas=True)
-            b.stage("build_large700")
-            c_7 = 32
-            th_7 = jnp.asarray(jitter_init(
-                np, exp7.model, np.asarray(exp7.model.prefit_vector()), c_7, rng
-            ))
-            dt_nll7 = scan_time(
-                jax, jnp, lambda m, t: m.total_nll_batch(t), exp7.model, th_7, iters=5
-            )
-            res["large700"] = {
-                "n_params": exp7.n_params,
-                "n_events": sum(s.n_events for s in exp7.samples),
-                "n_bins": sum(s.n_bins for s in exp7.samples),
-                "chains": c_7,
-                "total_nll_ms": round(1e3 * dt_nll7, 2),
-                "chain_nll_per_sec": round(c_7 / dt_nll7, 1),
-            }
-            b.stage("large700")
-        except Exception as exc:  # pragma: no cover
-            res["large700"] = {"error": str(exc)[:300]}
+    # parallel tempering (multimodal production mode; octant physics)
+    def sec_pt():
+        from mach3_tpu.fitters.tempering import ParallelTempering, PTConfig
+
+        n_w = 8 if small else 64
+        n_pt = 60 if small else 300
+        init_pt = jitter_init(np, toy.model, theta0, n_w, rng)
+        pt = ParallelTempering(
+            toy_model,
+            PTConfig(n_steps=n_pt, n_temps=6, max_temp=32.0, chunk_size=50),
+            init_pt,
+            seed=5,
+        )
+        pt.run(n_steps=50)
+        t0 = time.perf_counter()
+        pt.run(n_steps=n_pt)
+        jax.block_until_ready(pt.state.theta)
+        dt_pt = time.perf_counter() - t0
+        sw = np.asarray(pt.state.swap_accepts) / np.maximum(
+            np.asarray(pt.state.swap_attempts) * n_w, 1
+        )
+        return {
+            "levels": 6,
+            "walkers": n_w,
+            "cold_chain_steps_per_sec": round(n_pt * n_w / dt_pt, 1),
+            "all_level_chain_steps_per_sec": round(n_pt * n_w * 6 / dt_pt, 1),
+            "swap_acceptance": [round(float(x), 3) for x in sw],
+        }
+
+    b.section("parallel_tempering", 100, sec_pt, gate="PT",
+              dest="parallel_tempering", deadline_s=240)
+
+    # ChEES-HMC on the toy
+    def sec_chees_toy():
+        from mach3_tpu.fitters.hmc import HMC, HMCConfig
+
+        c_hmc = 64
+        init_h = jitter_init(np, toy.model, theta0, c_hmc, rng)
+        hmc = HMC(
+            toy_model,
+            HMCConfig(
+                step_size=0.05, adapt_steps=150, adapt_trajectory=True,
+                max_leapfrog=64, chunk_size=50,
+            ),
+            init_h,
+            seed=7,
+        )
+        hmc.run(n_steps=200)  # compile + warm-up + adaptation
+        n_meas = 150
+        t0 = time.perf_counter()
+        out_h = hmc.run(n_steps=n_meas)
+        jax.block_until_ready(hmc.state.theta)
+        dt_h = time.perf_counter() - t0
+        return {
+            "chains": c_hmc,
+            "steps_per_sec": round(n_meas * c_hmc / dt_h, 1),
+            "acceptance": round(float(hmc.acceptance_rate.mean()), 3),
+            "traj_time": round(float(np.exp(np.asarray(hmc.state.log_traj))), 4),
+            "ess_per_hour": ess_report(jax, jnp, np, out_h["theta"], dt_h),
+        }
+
+    if not small:
+        b.section("chees_hmc_toy", 160, sec_chees_toy, gate="HMC",
+                  dest="chees_hmc", deadline_s=300)
 
     b.flush()
 

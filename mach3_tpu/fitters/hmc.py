@@ -71,6 +71,15 @@ class HMCConfig:
     max_leapfrog: int = 128
     traj_learning_rate: float = 0.025
     initial_traj_length: float | None = None  # default: 4 * step_size
+    # ChEES loop bound: False (default) integrates exactly the sampled
+    # trajectory length via a dynamic-trip-count loop — cheapest at runtime
+    # but the loop bound is traced. True fixes the bound at ``max_leapfrog``
+    # (per-chain masking already handles early exit), wasting the masked
+    # iterations' gradient evals but giving XLA a static trip count. At
+    # reference scale the dynamic-bound program's remote compile was the
+    # prime suspect in a >20-minute stall (r4 verdict #2); the static form
+    # is the fallback the benchmark can afford to compile.
+    chees_static_bound: bool = False
 
 
 @struct.dataclass
@@ -157,34 +166,51 @@ class HMC:
             minv = jnp.ones((model.n_params,), ATYPE)
         self.minv = minv
 
-        def grad_batch(mdl, theta):  # [C, P] -> [C, P]
-            # Chains are independent, so grad of the SUM is the per-chain
-            # gradient — one backward pass over the batched program.
-            return jax.grad(lambda t: jnp.sum(mdl.log_posterior_batch(t)))(theta)
+        def value_grad_batch(mdl, theta):  # [C, P] -> ([C], [C, P])
+            # Chains are independent, so pulling back a ones cotangent gives
+            # the per-chain gradient — one forward + one backward pass over
+            # the batched program, AND the per-chain values for free.
+            val, vjp_fn = jax.vjp(lambda t: mdl.log_posterior_batch(t), theta)
+            return val, vjp_fn(jnp.ones_like(val))[0]
 
         def masked_leapfrog(mdl, theta, p, eps, n_active, minv_t, n_max):
             """Velocity-Verlet over the chain batch with per-chain active
-            masking: chain c integrates exactly ``n_active[c]`` steps. The
-            half-kicks of consecutive steps are fused, so a trajectory of N
-            steps costs N+1 gradient evaluations (the naive per-step
-            half/full/half form costs 2N). ``n_max`` may be a python int
-            (static unroll bound) or a traced scalar (ChEES dynamic length;
-            ``fori_loop`` lowers to ``while_loop``)."""
-            p = p + 0.5 * eps * grad_batch(mdl, theta)
+            masking: chain c integrates exactly ``n_active[c]`` steps, at
+            N+1 gradient evaluations for an N-step trajectory (fused
+            half-kicks). ``n_max`` may be a python int (static bound) or a
+            traced scalar (ChEES dynamic length; ``fori_loop`` lowers to
+            ``while_loop``).
+
+            The loop is the kick-then-drift form with EXACTLY ONE textual
+            gradient instantiation: iteration i kicks with coefficient ½ at
+            the trajectory's ends (i == 0, i == n_active), 1 inside, 0 after
+            — and the i == n_active evaluation doubles as the endpoint logp
+            (captured from the same vjp). The r4 form (separate initial
+            half-kick grad + in-loop grad + separate endpoint forward)
+            instantiated the fused reweight+VJP pipeline THREE times, and
+            Mosaic compiles every instantiation: the reference-scale HMC
+            chunk took >15 min of remote compile — the r2-r4 "ChEES stall"
+            (r4 verdict #2)."""
+            c = theta.shape[0]
+            logp_end = jnp.zeros((c,), theta.dtype)
 
             def body(i, carry):
-                theta, p = carry
-                act = (i < n_active).astype(theta.dtype)[:, None]
-                theta = theta + eps * minv_t[None, :] * p * act
-                g = grad_batch(mdl, theta)
-                # full kick while inside the trajectory, half kick on the
-                # last step, nothing after (momentum frozen once done)
+                theta, p, logp_end = carry
+                val, g = value_grad_batch(mdl, theta)
+                # ½-kick at both trajectory ends, full kick inside, frozen
+                # after; the end evaluation also yields the endpoint logp.
                 kick = jnp.where(
-                    i < n_active - 1, 1.0, jnp.where(i == n_active - 1, 0.5, 0.0)
+                    (i == 0) | (i == n_active), 0.5,
+                    jnp.where(i < n_active, 1.0, 0.0),
                 ).astype(theta.dtype)[:, None]
-                return theta, p + eps * kick * g
+                p = p + eps * kick * g
+                at_end = i == n_active
+                logp_end = jnp.where(at_end, val, logp_end)
+                drift = (i < n_active).astype(theta.dtype)[:, None]
+                theta = theta + eps * minv_t[None, :] * p * drift
+                return theta, p, logp_end
 
-            return jax.lax.fori_loop(0, n_max, body, (theta, p))
+            return jax.lax.fori_loop(0, n_max + 1, body, (theta, p, logp_end))
 
         def step_fn(mdl, state: HMCState):
             key, k_mom, k_acc, k_len = jax.random.split(state.key, 4)
@@ -204,7 +230,7 @@ class HMC:
                     jnp.ceil(ratio), 1, config.max_leapfrog
                 ).astype(jnp.int32)
                 n_active = jnp.full((c,), 1, jnp.int32) * n_shared
-                n_max = n_shared
+                n_max = config.max_leapfrog if config.chees_static_bound else n_shared
             elif config.jitter_trajectory:
                 n_active = jax.random.randint(
                     k_len, (c,), 1, config.n_leapfrog + 1
@@ -220,10 +246,12 @@ class HMC:
                 k_mom, state.theta.shape, ATYPE
             ) / jnp.sqrt(minv_t)[None, :]
             ke0 = 0.5 * jnp.sum(minv_t[None, :] * p0 * p0, axis=1)
-            theta_new, p_new = masked_leapfrog(
+            theta_new, p_new, logp_end = masked_leapfrog(
                 mdl, state.theta, p0, eps, n_active, minv_t, n_max
             )
-            logp_new = logp_batch(mdl, theta_new)
+            # endpoint logp comes from the leapfrog's own final evaluation;
+            # only the (elementwise) hard-bounds -inf term is added here
+            logp_new = logp_end + _bounds_logp_batch(mdl, theta_new)
             ke_new = 0.5 * jnp.sum(minv_t[None, :] * p_new * p_new, axis=1)
             log_ratio = (logp_new - ke_new) - (state.logp - ke0)
             log_ratio = jnp.minimum(0.0, log_ratio)

@@ -1,3 +1,9 @@
+from .binning import (
+    NonUniformBinning,
+    PolygonBinning,
+    SampleBinning,
+    histogram,
+)
 from .teststats import (
     TestStatistic,
     barlow_beeston_llh,
@@ -9,6 +15,10 @@ from .teststats import (
 )
 
 __all__ = [
+    "NonUniformBinning",
+    "PolygonBinning",
+    "SampleBinning",
+    "histogram",
     "TestStatistic",
     "barlow_beeston_llh",
     "dembinski_abdelmotteleb_llh",

@@ -208,6 +208,105 @@ class NonUniformBinning:
         return " x ".join(parts)
 
 
+@struct.dataclass
+class PolygonBinning:
+    """Arbitrary-polygon bins on a 2-D kinematic plane — the TH2Poly class
+    of binning (``Samples/HistogramUtils.h:17-87``; ``Fitters/SampleSummary.h:23``
+    operates on TH2Poly histograms).
+
+    TPU-native design: polygons only exist at BUILD/lookup time. ``find_bins``
+    runs an exact even-odd (crossing-number) point-in-polygon test, fully
+    vectorised over (events x polygon edges) with a ``segment_sum`` folding
+    edge crossings per polygon — no per-event loops, no ragged structures.
+    For static-kinematics samples this is evaluated once at build and the fit
+    step sees only the resulting integer bin array (the index-array design);
+    samples with kinematic shifts can call it per step like any other binning.
+
+    Edges are stored flat: ``ex1/ey1/ex2/ey2`` [V_total] with ``edge_poly``
+    [V_total] naming the owning polygon. Points exactly on a shared boundary
+    follow the even-odd rule's half-open convention (a vertical ray from the
+    point; edges are treated half-open in y), so shared borders assign the
+    event to exactly one of the adjacent polygons.
+    """
+
+    ex1: jnp.ndarray
+    ey1: jnp.ndarray
+    ex2: jnp.ndarray
+    ey2: jnp.ndarray
+    edge_poly: jnp.ndarray
+    axis_vars: jnp.ndarray
+    n_bins: int = struct.field(pytree_node=False)
+    # Host-side polygon vertex lists for naming/plotting (ragged).
+    polygons: tuple = struct.field(pytree_node=False, default=None)
+
+    @property
+    def n_axes(self) -> int:
+        return 2
+
+    @classmethod
+    def build(
+        cls, polygons: Sequence[Sequence[Sequence[float]]], axis_vars: Sequence[int]
+    ) -> "PolygonBinning":
+        """``polygons[b] = [(x0, y0), (x1, y1), ...]`` — one closed polygon
+        per analysis bin (the closing edge back to vertex 0 is implicit,
+        matching TH2Poly's ``AddBin(TGraph)``). Polygons must not overlap;
+        gaps are allowed (events there fall in the garbage bin)."""
+        if len(axis_vars) != 2:
+            raise ValueError("PolygonBinning is 2-D: axis_vars must have 2 entries")
+        x1s, y1s, x2s, y2s, owner = [], [], [], [], []
+        polys = []
+        for b, verts in enumerate(polygons):
+            v = np.asarray(verts, np.float64)
+            if v.ndim != 2 or v.shape[1] != 2 or v.shape[0] < 3:
+                raise ValueError(
+                    f"polygon {b} must be [n_vertices >= 3][2], got {v.shape}"
+                )
+            polys.append(v)
+            nxt = np.roll(v, -1, axis=0)  # implicit closing edge
+            x1s.append(v[:, 0]); y1s.append(v[:, 1])
+            x2s.append(nxt[:, 0]); y2s.append(nxt[:, 1])
+            owner.append(np.full(len(v), b, np.int64))
+        return cls(
+            ex1=jnp.asarray(np.concatenate(x1s), FTYPE),
+            ey1=jnp.asarray(np.concatenate(y1s), FTYPE),
+            ex2=jnp.asarray(np.concatenate(x2s), FTYPE),
+            ey2=jnp.asarray(np.concatenate(y2s), FTYPE),
+            edge_poly=jnp.asarray(np.concatenate(owner), ITYPE),
+            axis_vars=jnp.asarray(list(axis_vars), ITYPE),
+            n_bins=len(polygons),
+            polygons=tuple(polys),
+        )
+
+    def find_bins(self, kinematics: jnp.ndarray) -> jnp.ndarray:
+        """Flat bin index per event; ``n_bins`` (garbage) outside every
+        polygon. Same interface as ``SampleBinning.find_bins``."""
+        xy = kinematics[self.axis_vars]  # [2, E]
+        x, y = xy[0], xy[1]
+        # Even-odd rule: an upward vertical ray from (x, y) crosses edge
+        # (p1, p2) iff exactly one endpoint is at-or-below y (half-open in
+        # y kills double-counting at shared vertices) and the edge's x at
+        # height y lies strictly right of the point.
+        y1, y2 = self.ey1[:, None], self.ey2[:, None]  # [V, 1]
+        x1, x2 = self.ex1[:, None], self.ex2[:, None]
+        yb = y[None, :]  # [1, E]
+        straddles = (y1 <= yb) != (y2 <= yb)
+        dy = jnp.where(straddles, y2 - y1, jnp.ones((), FTYPE))
+        x_at = x1 + (yb - y1) * (x2 - x1) / dy
+        crossing = straddles & (x[None, :] < x_at)  # [V, E]
+        parity = jax.ops.segment_sum(
+            crossing.astype(ITYPE), self.edge_poly, num_segments=self.n_bins
+        ) % 2  # [B, E]
+        inside_any = jnp.any(parity == 1, axis=0)
+        owner = jnp.argmax(parity, axis=0).astype(ITYPE)
+        return jnp.where(inside_any, owner, self.n_bins).astype(ITYPE)
+
+    def bin_name(self, b: int) -> str:
+        if b >= self.n_bins:
+            return "underflow/overflow"
+        v = self.polygons[b]
+        return "poly[" + ", ".join(f"({x:g},{y:g})" for x, y in v) + "]"
+
+
 def histogram(
     weights: jnp.ndarray, bins: jnp.ndarray, n_bins: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -13,6 +13,7 @@ The reference's per-event pointer wiring becomes padded integer index arrays.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Mapping, Sequence
 
 import jax.numpy as jnp
@@ -290,6 +291,7 @@ def build_sample_model(
     data: np.ndarray | None = None,
     test_statistic: TestStatistic = TestStatistic.BARLOW_BEESTON,
     use_pallas: bool | str = "auto",
+    binning=None,
 ) -> SampleModel:
     """Assemble the static SampleModel arrays.
 
@@ -303,7 +305,13 @@ def build_sample_model(
     """
     var_index = {v: i for i, v in enumerate(var_order)}
     kin = np.stack([np.asarray(events.kinematics[v], np.float32) for v in var_order])
-    binning = SampleBinning.build(binning_edges, [var_index[v] for v in binning_vars])
+    if binning is None:
+        # Default rectangular binning from the edge lists; a prebuilt
+        # NonUniformBinning / PolygonBinning object overrides it (its
+        # axis_vars must name rows of var_order via binning_vars).
+        binning = SampleBinning.build(
+            binning_edges, [var_index[v] for v in binning_vars]
+        )
 
     if norm_idx is None:
         norm_idx = np.full((events.n_events, 1), -1, np.int64)
@@ -362,6 +370,10 @@ def build_sample_model(
     shifted_binned = [s for s in shifts if s.var_row in binned_rows]
     if not shifted_binned:
         static_bins = binning.find_bins(jnp.asarray(kin, FTYPE))
+    elif not isinstance(binning, SampleBinning):
+        # Custom binnings (polygon / hyper-rect) with shifted binned axes
+        # recompute find_bins per step on the XLA route.
+        pass
     elif len(shifts) == 1 and len(shifted_binned) == 1:
         s = shifts[0]
         fn = s.fn
@@ -466,27 +478,48 @@ def build_sample_model(
         # Pad every activity-signature GROUP to a multiple of the event tile
         # with zero-weight copies of its last event: tiles never straddle a
         # group boundary, so each tile is activity-pure (min active blocks)
-        # AND bin-narrow (bins sorted within the group; a straddling tile
-        # would drag the static histogram window to full width).
+        # AND bin-narrow (bins sorted within the group). On top of that,
+        # WINDOW-AWARE tile cuts (``plan_window_cuts``): the histogram
+        # window width is the static max span over tiles, so tiles are also
+        # cut whenever their bin span would exceed the cost-model-chosen W —
+        # a few extra padded tiles buy a W-fold narrower one-hot for every
+        # tile (r4: one sparse atmo group forced a 640-bin window on all
+        # ~200 tiles, ~2.7 ms/step).
+        from ..splines.pallas_reweight import plan_window_cuts
+
         et_ = route.event_tile
         sig_sorted = sig[order]
         cuts = np.flatnonzero(np.diff(sig_sorted)) + 1
         pieces = np.split(order, cuts)
+        n_blocks_act = -(-act.shape[0] // route.param_tile)
+        # popcount of the block bitmask ~ active blocks (exact for <=62
+        # blocks; the fold onto bit 62 only skews the cost model above that)
+        group_nact = [
+            min(bin(int(sig[pc[0]])).count("1"), n_blocks_act) for pc in pieces
+        ]
+        force_w = os.environ.get("MACH3_HIST_WINDOW")
+        w_sel, piece_cuts = plan_window_cuts(
+            [bins_np[idx] for idx in pieces], group_nact, et_, binning.n_bins,
+            force_w=int(force_w) if force_w else None,
+        )
         take_parts = []
         pad_parts = []
-        for idx in pieces:
-            take_parts.append(idx)
-            pad_parts.append(np.zeros(len(idx), bool))
-            padn = -len(idx) % et_
-            if padn:
-                take_parts.append(np.full(padn, idx[-1]))
-                pad_parts.append(np.ones(padn, bool))
+        for idx, cuts_g in zip(pieces, piece_cuts):
+            for i0, j0 in cuts_g:
+                seg = idx[i0:j0]
+                take_parts.append(seg)
+                pad_parts.append(np.zeros(len(seg), bool))
+                padn = -len(seg) % et_
+                if padn:
+                    take_parts.append(np.full(padn, seg[-1]))
+                    pad_parts.append(np.ones(padn, bool))
         perm = np.concatenate(take_parts)
         pad_mask = np.concatenate(pad_parts)
-        if len(pieces) > 1:
+        if len(pieces) > 1 or pad_mask.any():
             _log.info(
-                "%s: %d activity groups, %d pad events (%.1f%%)",
-                name, len(pieces), int(pad_mask.sum()),
+                "%s: %d activity groups, window target %d bins, %d pad "
+                "events (%.1f%%)",
+                name, len(pieces), w_sel, int(pad_mask.sum()),
                 100.0 * pad_mask.sum() / len(perm),
             )
         if True:

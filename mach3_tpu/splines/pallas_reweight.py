@@ -1130,6 +1130,63 @@ def hist_tile_plan(
     return starts, nbl
 
 
+def plan_window_cuts(
+    group_bins: list["np.ndarray"],
+    group_nact: list[int],
+    event_tile: int,
+    n_bins: int,
+    force_w: int | None = None,
+) -> tuple[int, list[list[tuple[int, int]]]]:
+    """Window-aware tile chunking for the bin-sorted kernel (r4 verdict #5).
+
+    The narrow-histogram window NBL is STATIC — the max bin span over every
+    event tile — so one sparse activity group whose few events spread across
+    the bin axis drags the window wide for ALL tiles (the r4 atmo kernel
+    paid a 640-of-1024 window, ~2.7 ms of its 3.4 ms). Fix: cut tiles so no
+    tile spans more than W bins, padding each cut to the event tile with
+    zero-weight events. Extra padded tiles are cheap (they stream only their
+    group's active coefficient blocks); the W-fold narrower one-hot build +
+    MXU contraction is paid by every tile.
+
+    W is chosen by a cost model over multiples of 128, calibrated on the r4
+    on-device decomposition (atmo, one v5e): per-tile cost
+    ~ n_active_blocks + 1.65·(W/128) + 2 (fixed DMA/scratch overhead), all
+    in active-block units.
+
+    Returns (W, cuts) where cuts[g] is a list of (start, end) index ranges
+    into group g's (bin-sorted) event list, each spanning <= W bins from its
+    128-aligned window start.
+    """
+    bp = -(-(n_bins + 1) // 128) * 128
+    ALPHA, BETA, GAMMA = 1.0, 1.65, 2.0
+
+    def cuts_for(bins_g: "np.ndarray", w: int) -> list[tuple[int, int]]:
+        out = []
+        n = len(bins_g)
+        i = 0
+        while i < n:
+            start_aligned = (int(bins_g[i]) // 128) * 128
+            j = int(np.searchsorted(bins_g, start_aligned + w, side="left"))
+            j = min(j, i + event_tile, n)
+            out.append((i, j))
+            i = j
+        return out
+
+    if force_w is not None:
+        w_sel = max(128, -(-force_w // 128) * 128)
+    else:
+        best = None
+        for w in range(128, bp + 128, 128):
+            total = 0.0
+            for bins_g, na in zip(group_bins, group_nact):
+                n_tiles = len(cuts_for(bins_g, w))  # each cut is <= one tile
+                total += n_tiles * (ALPHA * na + BETA * (w / 128) + GAMMA)
+            if best is None or total < best[0]:
+                best = (total, w)
+        w_sel = best[1]
+    return w_sel, [cuts_for(bins_g, w_sel) for bins_g in group_bins]
+
+
 def _norm_args(norm_ext, norm_s):
     """Kernel operands of the in-kernel norm product: log|ext| (floored at
     1e-30 — f32 denormals flush to zero and log(0)·0 is NaN), the negative

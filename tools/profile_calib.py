@@ -12,7 +12,7 @@ if os.environ.get("JAX_PLATFORMS") and "cpu" not in os.environ["JAX_PLATFORMS"]:
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/mach3_jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.environ.get("MACH3_JAX_CACHE", "/root/repo/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 jax.config.update("jax_enable_x64", True)
 
