@@ -292,6 +292,7 @@ def build_sample_model(
     test_statistic: TestStatistic = TestStatistic.BARLOW_BEESTON,
     use_pallas: bool | str = "auto",
     binning=None,
+    stat_dtype=None,
 ) -> SampleModel:
     """Assemble the static SampleModel arrays.
 
@@ -612,6 +613,7 @@ def build_sample_model(
         shifts=tuple(shifts),
         weight_fns=tuple(weight_fns),
         test_statistic=test_statistic,
+        stat_dtype=stat_dtype,
         use_pallas=route.use_pallas,
         kernel_route=route,
         static_bins=static_bins,

@@ -274,6 +274,14 @@ class SampleModel:
     test_statistic: TestStatistic = struct.field(
         pytree_node=False, default=TestStatistic.BARLOW_BEESTON
     )
+    # Dtype of the PER-BIN test-statistic evaluation; the bin sum is always
+    # f64 (ATYPE). Default f64 matches the reference's double LLH exactly.
+    # "float32" evaluates the stat's transcendentals (log/sqrt — ~20x
+    # software-emulated in f64 on TPU) in hardware f32: per-bin error
+    # ~1e-7 relative, total-NLL error ~1e-4 absolute at 2k bins —
+    # negligible against O(0.1-1) acceptance scales. The low-memory
+    # fixture policy (bf16 tables) turns this on.
+    stat_dtype: Any = struct.field(pytree_node=False, default=None)
     # Route chain-batched reweights through the fused Pallas kernel
     # (splines/pallas_reweight.py). TPU-only; requires a dense spline table.
     use_pallas: bool = struct.field(pytree_node=False, default=False)
@@ -338,7 +346,10 @@ class SampleModel:
         """
         ext = self._norm_ext(params)
         if self.norm_onehot is not None:
-            vals = (self.norm_onehot @ ext).reshape(self.norm_idx.shape)
+            vals = jnp.matmul(
+                self.norm_onehot, ext,
+                precision=jax.lax.Precision.HIGH,
+            ).reshape(self.norm_idx.shape)
             return jnp.prod(vals, axis=1)
         if self.norm_s is not None:
             # Log-matmul product (reference-scale path): |w| = exp(S^T log|v|)
@@ -350,9 +361,10 @@ class SampleModel:
             # 1e-30 floor: f32 denormals flush to zero on TPU and
             # 0 * log(0) = NaN would poison the dot.
             logext = jnp.log(jnp.maximum(absext, jnp.asarray(1e-30, FTYPE)))
-            logw = logext @ self.norm_s  # [E]
-            neg = (ext < 0).astype(FTYPE) @ self.norm_s
-            zero = (absext <= 1e-30).astype(FTYPE) @ self.norm_s
+            hi = jax.lax.Precision.HIGH
+            logw = jnp.matmul(logext, self.norm_s, precision=hi)  # [E]
+            neg = jnp.matmul((ext < 0).astype(FTYPE), self.norm_s, precision=hi)
+            zero = jnp.matmul((absext <= 1e-30).astype(FTYPE), self.norm_s, precision=hi)
             sign = 1.0 - 2.0 * (neg - 2.0 * jnp.floor(neg * 0.5))
             w = jnp.exp(logw) * sign
             return jnp.where(zero > 0.5, jnp.zeros((), FTYPE), w)
@@ -439,14 +451,23 @@ class SampleModel:
         w, bins = self.event_weights(params, osc_grids)
         return histogram(w, bins, self.n_bins)
 
+    def _stat_sum(self, mc: jnp.ndarray, w2: jnp.ndarray) -> jnp.ndarray:
+        """Per-bin test statistic (in ``stat_dtype``, default f64) summed
+        over bins in f64 — the reference's double LLH accumulation
+        (``SampleHandlerFD.cpp:1284-1300``). Works batched ([C, B] -> [C])
+        and unbatched ([B] -> scalar)."""
+        sd = self.stat_dtype or ATYPE
+        stat_fn = get_test_stat_fn(self.test_statistic)
+        data = self.data if mc.ndim == 1 else self.data[None, :]
+        per_bin = stat_fn(data.astype(sd), mc.astype(sd), w2.astype(sd))
+        return jnp.sum(per_bin, axis=-1, dtype=ATYPE)
+
     def log_likelihood(
         self, params: jnp.ndarray, osc_grids: tuple | None = None
     ) -> jnp.ndarray:
         """-logL of this sample (f64 scalar), ``GetLikelihood`` equivalent."""
         mc, w2 = self.reweight(params, osc_grids)
-        stat_fn = get_test_stat_fn(self.test_statistic)
-        per_bin = stat_fn(self.data, mc.astype(ATYPE), w2.astype(ATYPE))
-        return jnp.sum(per_bin)
+        return self._stat_sum(mc, w2)
 
     # ------------------------------------------------------ batched (chains)
     def reweight_batch(
@@ -567,9 +588,7 @@ class SampleModel:
         if event_axis is not None:
             mc = jax.lax.psum(mc, event_axis)
             w2 = jax.lax.psum(w2, event_axis)
-        stat_fn = get_test_stat_fn(self.test_statistic)
-        per_bin = stat_fn(self.data[None, :], mc.astype(ATYPE), w2.astype(ATYPE))
-        return jnp.sum(per_bin, axis=1)
+        return self._stat_sum(mc, w2)
 
     def log_likelihood_batch_xla(
         self, thetas: jnp.ndarray, osc_grids_batch: tuple | None = None
@@ -584,9 +603,7 @@ class SampleModel:
         oc = (None,) if osc_grids_batch is None else (osc_grids_batch,)
         in_axes = (0, None if osc_grids_batch is None else 0)
         mc, w2 = jax.vmap(self.reweight, in_axes=in_axes)(thetas, *oc)
-        stat_fn = get_test_stat_fn(self.test_statistic)
-        per_bin = stat_fn(self.data[None, :], mc.astype(ATYPE), w2.astype(ATYPE))
-        return jnp.sum(per_bin, axis=1)
+        return self._stat_sum(mc, w2)
 
     @staticmethod
     def _diff_shared_event_tile(
@@ -715,9 +732,7 @@ class SampleModel:
                     lambda t: self.binning.find_bins(self._shifted_kinematics(t))
                 )(thetas)
             mc, w2 = fused_reweight_diff(static, selector, coeffs, base_w, bins)
-        stat_fn = get_test_stat_fn(self.test_statistic)
-        per_bin = stat_fn(self.data[None, :], mc.astype(ATYPE), w2.astype(ATYPE))
-        return jnp.sum(per_bin, axis=1)
+        return self._stat_sum(mc, w2)
 
     def osc_prob_grids(self, params: jnp.ndarray) -> tuple | None:
         """This sample's raw probability grids (None without oscillation)."""

@@ -77,7 +77,8 @@ def eval_dense(table: DenseSplineTable, params: jnp.ndarray) -> jnp.ndarray:
     )  # [P, K*4] — matches the table's flat coefficient layout
     # Batched contraction over K*4: [P, K4] . [P, K4, E] -> [P, E].
     w = jnp.einsum(
-        "pk,pke->pe", selector, table.coeffs, preferred_element_type=FTYPE
+        "pk,pke->pe", selector, table.coeffs, preferred_element_type=FTYPE,
+        precision=jax.lax.Precision.HIGH,
     )
     return jnp.prod(w, axis=0)
 

@@ -52,6 +52,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_reweight import _resp_dot, dot_f32
+
 #: Largest per-chain-bins histogram for which the backward gather runs as a
 #: mask loop; bigger B with per-chain bins should use the XLA fallback.
 #: Matches the forward's mask-reduce limit (routing.MAX_MASKREDUCE_BINS):
@@ -60,11 +62,7 @@ MAX_PERCHAIN_BINS = 512
 
 
 def _resp(selector_ref, coeffs_ref, p):
-    return jax.lax.dot_general(
-        selector_ref[:, p, :], coeffs_ref[p],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    return _resp_dot(selector_ref[:, p, :], coeffs_ref[p])
 
 
 def _kernel_grad_a(
@@ -104,14 +102,8 @@ def _kernel_grad_a(
                 jnp.int32, (bp, bins.shape[0]), 0
             )
             oh = (iota_b == bins[None, :]).astype(jnp.float32)  # [BP, ET]
-            gmc_e = jax.lax.dot_general(
-                gmc_ref[:], oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            gw2_e = jax.lax.dot_general(
-                gw2_ref[:], oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            gmc_e = dot_f32(gmc_ref[:], oh, (((1,), (0,)), ((), ())), exact="b")
+            gw2_e = dot_f32(gw2_ref[:], oh, (((1,), (0,)), ((), ())), exact="b")
         else:
             # Per-chain bins, small B: mask loop (VPU), one select per bin.
             bins = bins_ref[:]  # [CT, ET] i32
@@ -154,11 +146,7 @@ def _kernel_grad_b(
             jnp.where(one_zero & iszero, pnz, 0.0),
         )
         contrib = sev * excl  # [CT, ET]
-        gsel_ref[:, p, :] += jax.lax.dot_general(
-            contrib, coeffs_t_ref[p],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [CT, K4]
+        gsel_ref[:, p, :] += _resp_dot(contrib, coeffs_t_ref[p])  # [CT, K4]
 
 
 def _pad_operands(selector, coeffs, base_w, bins, n_bins,
@@ -199,7 +187,9 @@ def _grad_backward(static, residuals, cotangents):
     gmc, gw2 = cotangents
     c, p, k4 = selector.shape
     e = coeffs.shape[2]
-    selector = selector.astype(coeffs.dtype)
+    # selector stays f32 — matches the forward kernels' r5 precision
+    # fix (bf16 coefficient tiles upcast inside the kernels)
+    selector = selector.astype(jnp.float32)
     pt = param_tile if (param_tile is not None and param_tile < p) else p
     selector, coeffs, base_w, bins, cpad, epad, ppad = _pad_operands(
         selector, coeffs, base_w, bins, n_bins,

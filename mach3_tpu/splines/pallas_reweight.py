@@ -32,6 +32,57 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.precision import FTYPE
 
 
+def _split_f32(a):
+    """bf16 (hi, lo) pair of an f32 array: a ~= hi + lo to ~2^-16 relative."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def dot_f32(a, b, dims, exact="b"):
+    """f32-faithful ``dot_general`` on the MXU via bf16 hi/lo passes.
+
+    TPU f32 dots default to ONE bf16 pass — both operands rounded to 8
+    mantissa bits. In these kernels that silently rounded every spline
+    response and every histogrammed weight by ~0.4%, which the r5 on-device
+    parity gate caught (fused-vs-XLA rel-err up to 1%). Mosaic supports only
+    DEFAULT and HIGHEST (six passes — measured 2x the whole LLH), so this is
+    the hand-rolled middle: with one operand EXACTLY bf16-representable
+    (one-hots, 0/1 masks, small match counts, bf16 coefficient tables),
+    splitting the other into a bf16 (hi, lo) pair gives f32-faithful
+    products in TWO passes (error ~2^-16 relative, f32 accumulation);
+    ``exact="ab"`` splits both (three passes) for f32 tables.
+
+    ``exact`` names the operand that is exactly representable ("a", "b")
+    or "ab" when neither is.
+    """
+    d = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    bf = jnp.bfloat16
+    if exact == "b":
+        b16 = b if b.dtype == bf else b.astype(bf)
+        ah, al = _split_f32(a.astype(jnp.float32))
+        return d(ah, b16) + d(al, b16)
+    if exact == "a":
+        a16 = a if a.dtype == bf else a.astype(bf)
+        bh, bl = _split_f32(b.astype(jnp.float32))
+        return d(a16, bh) + d(a16, bl)
+    ah, al = _split_f32(a.astype(jnp.float32))
+    bh, bl = _split_f32(b.astype(jnp.float32))
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
+def _resp_dot(sel, co):
+    """Spline response [CT, K4] x [K4, ET]: selector split against bf16
+    tables (two passes) or double-split against f32 tables (three)."""
+    return dot_f32(
+        sel, co, (((1,), (0,)), ((), ())),
+        exact="b" if co.dtype == jnp.bfloat16 else "ab",
+    )
+
+
 def _kernel(
     selector_ref, base_ref, bins_ref, coeffs_ref, mc_ref, w2_ref,
     *, n_params, n_bins, radix,
@@ -48,12 +99,7 @@ def _kernel(
     # Spline product: w [CT, ET]
     w = base_ref[:]
     for p in range(n_params):
-        resp = jax.lax.dot_general(
-            selector_ref[:, p, :],
-            coeffs_ref[p],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        resp = _resp_dot(selector_ref[:, p, :], coeffs_ref[p])
         w = w * resp
 
     # Histogram via RADIX-FACTORISED one-hots. A direct one-hot contraction
@@ -91,9 +137,7 @@ def _kernel(
         z_rows.append(jnp.concatenate([zw, zw * wc[None, :]], axis=0))
     z = jnp.concatenate(z_rows, axis=0)  # [CT*2*Bhi, ET]
     oh = jnp.concatenate(oh_cols, axis=1)  # [ET, CT*R]
-    res = jax.lax.dot_general(
-        z, oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [CT*2*Bhi, CT*R]
+    res = dot_f32(z, oh, (((1,), (0,)), ((), ())), exact="b")  # [CT*2*Bhi, CT*R]
     # Diagonal-block extraction. Row slices are sublane-aligned; column slices
     # at offset c*R are NOT lane-aligned, so columns are selected with a tiny
     # static one-hot dot instead (res_c [2*Bhi, CT*R] @ sel_c [CT*R, R]).
@@ -102,9 +146,7 @@ def _kernel(
     for c in range(chain_tile):
         res_c = res[c * 2 * n_hi : (c + 1) * 2 * n_hi, :]
         sel_c = (iota_row == iota_col + jnp.int32(c * radix)).astype(jnp.float32)
-        blk = jax.lax.dot_general(
-            res_c, sel_c, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [2*Bhi, R]
+        blk = dot_f32(res_c, sel_c, (((1,), (0,)), ((), ())), exact="b")  # [2*Bhi, R]
         # Outputs are [CT, Bhi, R]; the (hi, lo) -> flat-bin reshape happens
         # in XLA outside (Mosaic cannot reshape across the sublane/lane split).
         mc_ref[c] += blk[:n_hi]
@@ -134,7 +176,10 @@ def fused_reweight_histogram(
     intermediates put a 4096-event tile past the 16 MB scoped-VMEM limit."""
     c, p, k4 = selector.shape
     e = coeffs.shape[2]
-    selector = selector.astype(coeffs.dtype)
+    # selector stays f32; bf16 coefficient tiles upcast INSIDE the
+    # kernels (a bf16 selector added ~0.4% route-diverging rounding
+    # on every response — caught by the r5 on-device parity gate)
+    selector = selector.astype(jnp.float32)
     # Pad C and E to tile multiples; padded events carry weight 0 and bin B
     # (out of range) so they contribute nothing.
     cpad = -c % chain_tile
@@ -223,12 +268,7 @@ def _kernel_maskreduce(
 
     w = base_ref[:]
     for p in range(n_params):
-        resp = jax.lax.dot_general(
-            selector_ref[:, p, :],
-            coeffs_ref[p],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        resp = _resp_dot(selector_ref[:, p, :], coeffs_ref[p])
         w = w * resp
 
     bins = bins_ref[:]  # [CT, ET] i32
@@ -259,12 +299,12 @@ def _norm_weight(logext_ref, negext_ref, norm_s_ref):
     denormals flush to zero, and log(0)·0 would poison the dot with NaN);
     exact-zero norms become ~1e-30 weights.
     """
-    lw = jax.lax.dot_general(
-        logext_ref[:], norm_s_ref[:],
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    lw = dot_f32(
+        logext_ref[:], norm_s_ref[:], (((1,), (0,)), ((), ())), exact="b"
     )  # [CT, ET]
+    # 0/1 mask x small counts: both operands exactly bf16-representable
     pw = jax.lax.dot_general(
-        negext_ref[:], norm_s_ref[:],
+        negext_ref[:].astype(jnp.bfloat16), norm_s_ref[:].astype(jnp.bfloat16),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # [CT, ET] integer-valued parity counts
     sign = 1.0 - 2.0 * (pw - 2.0 * jnp.floor(pw * 0.5))
@@ -301,12 +341,7 @@ def _kernel_maskreduce_shifted(
 
     w = base_ref[:]
     for p in range(n_params):
-        resp = jax.lax.dot_general(
-            selector_ref[:, p, :],
-            coeffs_ref[p],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        resp = _resp_dot(selector_ref[:, p, :], coeffs_ref[p])
         w = w * resp
     if has_norm:
         w = w * _norm_weight(logext_ref, negext_ref, norm_s_ref)
@@ -378,12 +413,7 @@ def _kernel_shifted_blocked(
 
     w = w_ref[:]
     for p in range(p_tile):
-        resp = jax.lax.dot_general(
-            selector_ref[:, p, :],
-            coeffs_ref[p],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        resp = _resp_dot(selector_ref[:, p, :], coeffs_ref[p])
         w = w * resp
     w_ref[:] = w
 
@@ -430,7 +460,10 @@ def fused_reweight_histogram_shifted(
     required at reference-scale spline counts."""
     c, p, k4 = selector.shape
     e = coeffs.shape[2]
-    selector = selector.astype(coeffs.dtype)
+    # selector stays f32; bf16 coefficient tiles upcast INSIDE the
+    # kernels (a bf16 selector added ~0.4% route-diverging rounding
+    # on every response — caught by the r5 on-device parity gate)
+    selector = selector.astype(jnp.float32)
     bp = -(-n_bins // 128) * 128
     has_norm = norm_ext is not None
     if param_tile is not None and param_tile < p:
@@ -646,12 +679,7 @@ def _kernel_shared(
 
     w = base_ref[:]
     for p in range(n_params):
-        resp = jax.lax.dot_general(
-            selector_ref[:, p, :],
-            coeffs_ref[p],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        resp = _resp_dot(selector_ref[:, p, :], coeffs_ref[p])
         w = w * resp
     if has_norm:
         w = w * _norm_weight(logext_ref, negext_ref, norm_s_ref)
@@ -661,9 +689,7 @@ def _kernel_shared(
     iota_b = jax.lax.broadcasted_iota(jnp.int32, (et, n_bins_padded), 1)
     onehot = (bins[:, None] == iota_b).astype(jnp.float32)  # [ET, BP]
     z = jnp.concatenate([w, w * w], axis=0)  # [2*CT, ET]
-    res = jax.lax.dot_general(
-        z, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [2*CT, BP]
+    res = dot_f32(z, onehot, (((1,), (0,)), ((), ())), exact="b")  # [2*CT, BP]
     ct = w.shape[0]
     mc_ref[:] += res[:ct]
     w2_ref[:] += res[ct:]
@@ -703,12 +729,7 @@ def _kernel_shared_blocked(
 
     w = w_ref[:]
     for p in range(p_tile):
-        resp = jax.lax.dot_general(
-            selector_ref[:, p, :],
-            coeffs_ref[p],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        resp = _resp_dot(selector_ref[:, p, :], coeffs_ref[p])
         w = w * resp
     w_ref[:] = w
 
@@ -720,10 +741,7 @@ def _kernel_shared_blocked(
         iota_b = jax.lax.broadcasted_iota(jnp.int32, (et, n_bins_padded), 1)
         onehot = (bins[:, None] == iota_b).astype(jnp.float32)  # [ET, BP]
         z = jnp.concatenate([wf, wf * wf], axis=0)  # [2*CT, ET]
-        res = jax.lax.dot_general(
-            z, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [2*CT, BP]
+        res = dot_f32(z, onehot, (((1,), (0,)), ((), ())), exact="b")  # [2*CT, BP]
         ct = w.shape[0]
         mc_ref[:] += res[:ct]
         w2_ref[:] += res[ct:]
@@ -731,7 +749,10 @@ def _kernel_shared_blocked(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_bins", "chain_tile", "event_tile", "param_tile", "nbl"),
+    static_argnames=(
+        "n_bins", "chain_tile", "event_tile", "param_tile", "nbl",
+        "vmem_budget",
+    ),
 )
 def fused_reweight_histogram_shared(
     selector: jnp.ndarray,  # [C, P, K4] f32
@@ -748,6 +769,7 @@ def fused_reweight_histogram_shared(
     nbl: int | None = None,  # static local-bin width (multiple of 128)
     block_plan: jnp.ndarray | None = None,  # [E/ET, PEmax] i32 active blocks
     block_nact: jnp.ndarray | None = None,  # [E/ET] i32 active-block counts
+    vmem_budget: int | None = None,  # sorted-route VMEM cap (tests shrink it)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (mc [C, B], w2 [C, B]) in f32. Use when bins do not depend on
     the proposal (no functional kinematic shifts) — the common case.
@@ -770,7 +792,10 @@ def fused_reweight_histogram_shared(
     tile's 128-aligned bin offset. Requires the param-blocked path."""
     c, p, k4 = selector.shape
     e = coeffs.shape[2]
-    selector = selector.astype(coeffs.dtype)
+    # selector stays f32; bf16 coefficient tiles upcast INSIDE the
+    # kernels (a bf16 selector added ~0.4% route-diverging rounding
+    # on every response — caught by the r5 on-device parity gate)
+    selector = selector.astype(jnp.float32)
     has_norm = norm_ext is not None
     if param_tile is not None and param_tile < p:
         if tile_starts is not None and nbl is not None:
@@ -778,6 +803,7 @@ def fused_reweight_histogram_shared(
                 selector, coeffs, base_w, bins, n_bins,
                 chain_tile, event_tile, param_tile, norm_ext, norm_s,
                 tile_starts, nbl, block_plan, block_nact,
+                vmem_budget=vmem_budget,
             )
         return _shared_blocked_call(
             selector, coeffs, base_w, bins, n_bins,
@@ -904,12 +930,7 @@ def _kernel_shared_blocked_sorted(
     def _():
         w = w_ref[:]
         for p in range(p_tile):
-            resp = jax.lax.dot_general(
-                selector_ref[:, p, :],
-                coeffs_ref[p],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            resp = _resp_dot(selector_ref[:, p, :], coeffs_ref[p])
             w = w * resp
         w_ref[:] = w
 
@@ -924,10 +945,7 @@ def _kernel_shared_blocked_sorted(
         iota_b = jax.lax.broadcasted_iota(jnp.int32, (nbl, et), 0)
         onehot = (iota_b == local[None, :]).astype(jnp.float32)  # [NBL, ET]
         z = jnp.concatenate([wf, wf * wf], axis=0)  # [2*CT, ET]
-        res = jax.lax.dot_general(
-            onehot, z, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [NBL, 2*CT]
+        res = dot_f32(onehot, z, (((1,), (1,)), ((), ())), exact="a")  # [NBL, 2*CT]
         ct = w.shape[0]
         sl = pl.ds(start, nbl)
         mc_ref[sl, :] += res[:, :ct]
@@ -937,6 +955,7 @@ def _kernel_shared_blocked_sorted(
 def _shared_blocked_sorted_call(
     selector, coeffs, base_w, bins, n_bins, chain_tile, event_tile, param_tile,
     norm_ext, norm_s, tile_starts, nbl, block_plan=None, block_nact=None,
+    vmem_budget=None,
 ):
     """Padding + pallas_call for the bin-sorted param-blocked shared kernel.
 
@@ -956,23 +975,31 @@ def _shared_blocked_sorted_call(
     )
     has_norm = norm_ext is not None
     # The bin-major outputs put chains on the LANE axis, whose block must be
-    # 128-divisible or the full array dim — so the whole (padded) chain axis
-    # is ONE resident tile. Guard VMEM and fall back to the wide kernel for
-    # chain counts where that does not fit.
-    # Lane-align the single chain tile (the in-kernel lane slice res[:, cp:]
-    # needs a 128-multiple offset).
-    chain_tile = -(-c // 128) * 128
+    # 128-divisible or the full array dim. The chain axis is therefore tiled
+    # in 128-aligned blocks; when the whole axis does not fit VMEM the tile
+    # SHRINKS and the grid grows a chain dimension (coefficient blocks are
+    # then re-streamed cp/chain_tile times — cheap for sub-GB tables).
+    # r4 regression: the old code forced ONE resident chain tile and fell
+    # back to the wide kernel for c > ~256, which is how the 1024-chain toy
+    # silently lost its narrow-histogram route (scaling 0.707x vs 256).
     na1 = norm_ext.shape[1] if has_norm else 0
-    vmem = 4 * (
-        2 * bp_out * chain_tile          # mc/w2 resident outputs
-        + 2 * chain_tile * event_tile    # base block + product scratch
-        + nbl * event_tile               # one-hot
-        + 2 * chain_tile * max(nbl, 128) # narrow dot result (z concat)
-        + chain_tile * param_tile * k4
-        + 2 * chain_tile * na1
-        + na1 * event_tile
-    ) + 2 * param_tile * k4 * event_tile
-    if vmem > 12 * 2**20:
+
+    def vmem_for(ct: int) -> int:
+        return 4 * (
+            2 * bp_out * ct          # mc/w2 resident outputs
+            + 2 * ct * event_tile    # base block + product scratch
+            + nbl * event_tile       # one-hot
+            + 2 * ct * max(nbl, 128)  # narrow dot result (z concat)
+            + ct * param_tile * k4
+            + 2 * ct * na1
+            + na1 * event_tile
+        ) + 2 * param_tile * k4 * event_tile
+
+    budget = vmem_budget if vmem_budget is not None else 12 * 2**20
+    chain_tile = -(-c // 128) * 128
+    while chain_tile > 128 and vmem_for(chain_tile) > budget:
+        chain_tile = max(128, (chain_tile // 2 // 128) * 128)
+    if vmem_for(chain_tile) > budget:
         return _shared_blocked_call(
             selector, coeffs, base_w, bins, n_bins,
             min(chain_tile, 128), event_tile, param_tile, norm_ext, norm_s,
@@ -1021,8 +1048,8 @@ def _shared_blocked_sorted_call(
             f"event axis has {n_etiles} — built for a different event_tile"
         )
     n_ptiles = int(block_plan.shape[1])  # grid extent = max active blocks
-    assert cp == chain_tile, (cp, chain_tile)
-    grid = (1, n_etiles, n_ptiles)
+    assert cp % chain_tile == 0, (cp, chain_tile)
+    grid = (cp // chain_tile, n_etiles, n_ptiles)
     kernel = functools.partial(
         _kernel_shared_blocked_sorted,
         p_tile=param_tile, n_ptiles=n_ptiles, nbl=nbl, has_norm=has_norm,

@@ -341,6 +341,7 @@ def build_large(
                 nc_modes=[MODE_NC], phase_dtype=jnp.float32,
             ),
             test_statistic=test_statistic,
+            stat_dtype=jnp.float32 if low_memory else None,
             use_pallas=use_pallas,
         )
     )
@@ -371,6 +372,7 @@ def build_large(
                 ),
             ),
             test_statistic=test_statistic,
+            stat_dtype=jnp.float32 if low_memory else None,
             use_pallas=use_pallas,
         )
     )
@@ -398,6 +400,7 @@ def build_large(
                 nc_modes=[MODE_NC],
             ),
             test_statistic=test_statistic,
+            stat_dtype=jnp.float32 if low_memory else None,
             use_pallas=use_pallas,
         )
     )
@@ -615,6 +618,7 @@ def build_large700(
                     phase_dtype=jnp.float32,
                 ),
                 test_statistic=test_statistic,
+            stat_dtype=jnp.float32 if low_memory else None,
                 use_pallas=use_pallas,
             )
         )
@@ -648,6 +652,7 @@ def build_large700(
                     ),
                 ),
                 test_statistic=test_statistic,
+            stat_dtype=jnp.float32 if low_memory else None,
                 use_pallas=use_pallas,
             )
         )
@@ -677,6 +682,7 @@ def build_large700(
                     osc_param_gidx=osc_gidx, nc_modes=[MODE_NC],
                 ),
                 test_statistic=test_statistic,
+            stat_dtype=jnp.float32 if low_memory else None,
                 use_pallas=use_pallas,
             )
         )

@@ -430,3 +430,45 @@ def test_sorted_planned_kernel_matches_wide(interp):
                                rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(out[1]),
                                rtol=2e-5, atol=1e-5)
+
+
+def test_sorted_kernel_chain_blocking(interp):
+    """Large chain counts must TILE the chain axis of the sorted kernel
+    (grid chain blocks), not silently fall back to the wide kernel — the
+    r4 1024-chain regression (scaling 0.707x vs 256) was exactly that
+    fallback. A shrunken vmem_budget forces multiple chain blocks here."""
+    rng = np.random.default_rng(5)
+    E, P, NB, ET, PT, C = 2048, 6, 300, 512, 3, 300
+    specs = []
+    for p in range(P):
+        ev = np.arange(E) if p % 2 == 0 else np.arange(E // 2)
+        y = 1.0 + 0.05 * rng.normal(size=(len(ev), 5)).cumsum(axis=1)
+        specs.append(SplineParamSpec(
+            name=f"p{p}", param_index=p,
+            x_knots=np.array([-2.0, -1.0, 0.0, 1.0, 2.0]),
+            event_ids=ev, y_knots=y,
+        ))
+    table = build_dense_table(specs, E)
+    bins_np = np.sort(rng.integers(0, NB, E)).astype(np.int32)
+    params = jnp.asarray(0.3 * rng.normal(size=(C, P + 1)))
+    sel = pr.spline_selector(table, params)
+    bw = jnp.asarray(rng.random((C, E)), jnp.float32)
+    starts, nbl = pr.hist_tile_plan(bins_np, NB, ET)
+
+    ref = pr.fused_reweight_histogram_shared(
+        sel, table.coeffs, bw, jnp.asarray(bins_np), n_bins=NB,
+        chain_tile=4, event_tile=ET, param_tile=PT,
+    )
+    pr.fused_reweight_histogram_shared.clear_cache()
+    # budget sized so one 128-chain block fits but 256 does not: the padded
+    # 384-chain axis must run as 3 grid chain blocks
+    out = pr.fused_reweight_histogram_shared(
+        sel, table.coeffs, bw, jnp.asarray(bins_np), n_bins=NB,
+        chain_tile=4, event_tile=ET, param_tile=PT,
+        tile_starts=jnp.asarray(starts), nbl=int(nbl),
+        vmem_budget=2_400_000,
+    )
+    np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(out[0]),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(out[1]),
+                               rtol=2e-5, atol=1e-5)

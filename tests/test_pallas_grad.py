@@ -113,14 +113,14 @@ def test_value_and_grad_parity(interp, shared):
     )
     v_f = float(f_fused(selector, base_w))
     v_x = float(f_xla(selector, base_w))
-    np.testing.assert_allclose(v_f, v_x, rtol=1e-5)
+    np.testing.assert_allclose(v_f, v_x, rtol=1e-4)
 
     gs_f, gb_f = jax.grad(f_fused, argnums=(0, 1))(selector, base_w)
     gs_x, gb_x = jax.grad(f_xla, argnums=(0, 1))(selector, base_w)
-    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_x), rtol=2e-5,
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_x), rtol=2e-5,
-                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_x), rtol=2e-3,
+                               atol=1e-4)  # bf16-split dots: ~1e-4..1e-3 vs exact-f32 XLA
+    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_x), rtol=2e-3,
+                               atol=1e-4)
 
 
 def test_param_blocked_backward(interp):
@@ -147,10 +147,10 @@ def test_param_blocked_backward(interp):
     )
     gs_f, gb_f = jax.grad(f_fused, argnums=(0, 1))(selector, base_w)
     gs_x, gb_x = jax.grad(f_xla, argnums=(0, 1))(selector, base_w)
-    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_x), rtol=2e-5,
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_x), rtol=2e-5,
-                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_x), rtol=2e-3,
+                               atol=1e-4)  # bf16-split dots: ~1e-4..1e-3 vs exact-f32 XLA
+    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_x), rtol=2e-3,
+                               atol=1e-4)
 
 
 def test_zero_response_exclusion(interp):
@@ -179,8 +179,8 @@ def test_zero_response_exclusion(interp):
     assert np.all(np.isfinite(np.asarray(gs_f)))
     # base grad = G * prod(resp) = 0 since one factor is identically 0
     np.testing.assert_allclose(np.asarray(gb_f), 0.0, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_x), rtol=2e-5,
-                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_x), rtol=2e-3,
+                               atol=1e-4)
     # the zero param's own grad is the only nonzero block
     assert np.any(np.asarray(gs_f)[:, 1, :] != 0)
     np.testing.assert_allclose(np.asarray(gs_f)[:, 0, :], 0.0, atol=1e-6)
@@ -237,10 +237,10 @@ def test_shifted_variant_grad_parity(interp):
     )
     gs_f, gb_f = jax.grad(f_fused, argnums=(0, 1))(selector, base_w)
     gs_x, gb_x = jax.grad(f_xla, argnums=(0, 1))(selector, base_w)
-    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_x), rtol=2e-5,
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_x), rtol=2e-5,
-                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_x), rtol=2e-3,
+                               atol=1e-4)  # bf16-split dots: ~1e-4..1e-3 vs exact-f32 XLA
+    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_x), rtol=2e-3,
+                               atol=1e-4)
 
 
 @pytest.mark.slow

@@ -197,3 +197,23 @@ def test_gradients_finite_at_edge_cases():
         assert np.isfinite(float(val)), stat
         assert np.all(np.isfinite(np.asarray(g_mc))), (stat, g_mc)
         assert np.all(np.isfinite(np.asarray(g_w2))), (stat, g_w2)
+
+
+def test_stat_dtype_f32_matches_f64():
+    """stat_dtype=float32 (low-memory policy: per-bin stat in hardware f32,
+    f64 bin sum) must agree with the exact-f64 default to ~1e-5 absolute —
+    the error budget that justifies turning it on for the bench fixtures."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mach3_tpu.tutorial.toy import build_toy
+
+    toy = build_toy(n_events=3000, seed=11, e_grid_size=30, use_pallas=False)
+    th = jnp.asarray(np.asarray(toy.model.prefit_vector()))[None, :] * 1.02
+    for s in toy.model.samples:
+        a = jax.jit(lambda m, t: m.log_likelihood_batch(t))(s, th)
+        s32 = s.replace(stat_dtype=jnp.float32)
+        b = jax.jit(lambda m, t: m.log_likelihood_batch(t))(s32, th)
+        assert float(a[0]) != 0.0
+        assert abs(float(a[0]) - float(b[0])) < 1e-4 * max(1.0, abs(float(a[0])))
