@@ -211,6 +211,11 @@ def scan_time(jax, jnp, fn, mdl, *arrs, iters=20):
 
     g = jax.jit(run)
     jax.block_until_ready(g(mdl, *arrs))  # compile + warm
+    # second warm call: the FIRST post-compile execution can stall ~15-35 s
+    # on big executables (persistent-cache serialization of baked-constant
+    # programs; measured r5 — a 3.3 ms/step toy chunk "measured" 60 ms/step
+    # on its first run and full speed on the second)
+    jax.block_until_ready(g(mdl, *arrs))
     t0 = time.perf_counter()
     jax.block_until_ready(g(mdl, *arrs))
     return (time.perf_counter() - t0) / iters
@@ -385,8 +390,12 @@ def main() -> None:
         # Warm up with ONE FULL-SIZE chunk: a different warmup length would
         # compile a different scan and the measured window would pay a fresh
         # compile (observed: 15k "steps/s" headline from exactly this).
-        fitter.run(n_steps=250 if not small else n_steps)
-        b.stage("headline warmup (compile + 250 steps)")
+        # TWO full-size chunks: chunk 1 pays the compile, chunk 2 absorbs
+        # the first-execution stall (persistent-cache serialization of the
+        # baked-toy executable, ~30 s — measured r5); a different warmup
+        # length would compile a different scan.
+        fitter.run(n_steps=500 if not small else n_steps)
+        b.stage("headline warmup (compile + 500 steps)")
         t0 = time.perf_counter()
         out = fitter.run(n_steps=n_steps)
         jax.block_until_ready(fitter.state.theta)
@@ -494,7 +503,7 @@ def main() -> None:
             init_l = np.asarray(th_l)
             fl = MR2T2(exp_model, MCMCConfig(n_steps=60, chunk_size=30),
                        init_l, seed=4)
-            fl.run(n_steps=30)
+            fl.run(n_steps=60)  # 2 chunks: compile + first-execution stall
             t0 = time.perf_counter()
             fl.run(n_steps=60)
             jax.block_until_ready(fl.state.theta)
@@ -641,7 +650,7 @@ def main() -> None:
         ch = int(os.environ.get("MACH3_1024_CHUNK", 250))
         f2 = MR2T2(toy_model, MCMCConfig(n_steps=2 * ch, chunk_size=ch),
                    big_init, seed=3)
-        f2.run(n_steps=ch)
+        f2.run(n_steps=2 * ch)  # 2 chunks: compile + first-execution stall
         t0 = time.perf_counter()
         f2.run(n_steps=2 * ch)
         jax.block_until_ready(f2.state.theta)
@@ -822,7 +831,7 @@ def main() -> None:
             init_pt,
             seed=5,
         )
-        pt.run(n_steps=50)
+        pt.run(n_steps=100)  # 2 chunks: compile + first-execution stall
         t0 = time.perf_counter()
         pt.run(n_steps=n_pt)
         jax.block_until_ready(pt.state.theta)

@@ -49,10 +49,17 @@ def _cubic(coeffs: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return y + t * (b + t * (c + t * d))
 
 
-def eval_dense(table: DenseSplineTable, params: jnp.ndarray) -> jnp.ndarray:
+def eval_dense(
+    table: DenseSplineTable, params: jnp.ndarray, exact: bool = False
+) -> jnp.ndarray:
     """Per-event total spline weight from the dense matmul-layout table.
 
     params: full proposal vector [NP] -> weights [E] f32.
+
+    exact=False (production): responses evaluate in the same DEVIATION-form
+    bf16 numeric as the fused kernels (see below) — the framework's defined
+    spline-response precision (~0.4% of |resp − 1|). exact=True evaluates
+    in full f32 — the oracle path for coefficient-construction tests.
 
     MXU formulation: the response of parameter p is a polynomial in the local
     coordinate t whose coefficients live in the active segment row —
@@ -75,10 +82,31 @@ def eval_dense(table: DenseSplineTable, params: jnp.ndarray) -> jnp.ndarray:
     selector = (seg_onehot[:, :, None] * tp[:, None, :]).reshape(
         table.n_spline_params, -1
     )  # [P, K*4] — matches the table's flat coefficient layout
-    # Batched contraction over K*4: [P, K4] . [P, K4, E] -> [P, E].
-    w = jnp.einsum(
-        "pk,pke->pe", selector, table.coeffs, preferred_element_type=FTYPE,
-        precision=jax.lax.Precision.HIGH,
+    # Batched contraction over K*4 in DEVIATION form — the numeric twin of
+    # the fused kernels' response dot (pallas_reweight._resp_dot):
+    # resp = 1 + sel @ (coeffs − I) with I the identity-response pattern
+    # (ones at constant-term rows), both operands rounded to bf16 so ONE
+    # MXU pass rounds only the deviation from unity (~2e-4 of a response).
+    # Matching the rounding here keeps fused-vs-XLA parity at f32
+    # accumulation-order level on hardware.
+    if exact:
+        w = jnp.einsum(
+            "pk,pke->pe", selector, table.coeffs, preferred_element_type=FTYPE,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.prod(w, axis=0)
+    k4 = table.coeffs.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (k4, 1), 0)
+    ident = (jnp.bitwise_and(iota, jnp.int32(3)) == 0).astype(table.coeffs.dtype)
+    dev = table.coeffs - ident[None, :, :]
+    # bf16 ROUNDING simulated by round-trip casts + an exact f32 contraction:
+    # same values as a native bf16 MXU pass (f32 accumulation), and portable
+    # (the CPU runtime rejects batched bf16 x bf16 -> f32 einsums).
+    sel_r = selector.astype(jnp.bfloat16).astype(FTYPE)
+    dev_r = dev.astype(jnp.bfloat16).astype(FTYPE)
+    w = 1.0 + jnp.einsum(
+        "pk,pke->pe", sel_r, dev_r, preferred_element_type=FTYPE,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jnp.prod(w, axis=0)
 

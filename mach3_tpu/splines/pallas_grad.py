@@ -146,7 +146,18 @@ def _kernel_grad_b(
             jnp.where(one_zero & iszero, pnz, 0.0),
         )
         contrib = sev * excl  # [CT, ET]
-        gsel_ref[:, p, :] += _resp_dot(contrib, coeffs_t_ref[p])  # [CT, K4]
+        # resp = 1 + sel @ (co − I)  ⇒  ∂resp/∂sel = (co − I): the backward
+        # contracts against the TRANSPOSED deviation table, in the same
+        # single-bf16-pass numeric as the forward's response dot.
+        co_t = coeffs_t_ref[p]  # [ET, K4]
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, co_t.shape[1]), 1)
+        ident_t = (jnp.bitwise_and(iota_k, jnp.int32(3)) == 0).astype(co_t.dtype)
+        dev_t = co_t - ident_t
+        gsel_ref[:, p, :] += jax.lax.dot_general(
+            contrib.astype(jnp.bfloat16), dev_t.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [CT, K4]
 
 
 def _pad_operands(selector, coeffs, base_w, bins, n_bins,

@@ -74,12 +74,37 @@ def dot_f32(a, b, dims, exact="b"):
     return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
+def _dev_coeffs(co):
+    """Coefficient tile minus the IDENTITY response pattern (1 at every
+    constant-term row k*4+0): the deviation table of ``resp = 1 + dev``."""
+    k4 = co.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (k4, co.shape[1]), 0)
+    ident = (jnp.bitwise_and(iota, jnp.int32(3)) == 0).astype(co.dtype)
+    return co - ident
+
+
 def _resp_dot(sel, co):
-    """Spline response [CT, K4] x [K4, ET]: selector split against bf16
-    tables (two passes) or double-split against f32 tables (three)."""
-    return dot_f32(
-        sel, co, (((1,), (0,)), ((), ())),
-        exact="b" if co.dtype == jnp.bfloat16 else "ab",
+    """Spline response [CT, K4] x [K4, ET] in DEVIATION form:
+
+        resp = 1 + sel @ (co − I)
+
+    where I (ones at the constant-term rows) satisfies sel @ I ≡ 1 exactly
+    for any segment one-hot selector. ONE bf16 MXU pass then rounds only
+    the DEVIATION from unity (~0.4% of |resp − 1|, i.e. ~2e-4 of a typical
+    response) instead of the full response — 20x the accuracy of a plain
+    DEFAULT dot at the same cost. The first attempt used f32-faithful split
+    passes (dot_f32) here; tripling the count of these latency-bound tiny
+    dots ([CT, 20] @ [20, ET]) took the 256-chain toy step from ~3 ms to
+    80 ms. The XLA twin (``splines/eval.py``) applies the SAME bf16
+    deviation rounding so the routes agree to f32 accumulation order.
+
+    Identity padding rows (selector e0 x coefficient row0 = 1) become
+    dev = 0 and drop out exactly."""
+    bf = jnp.bfloat16
+    dev = _dev_coeffs(co)
+    return 1.0 + jax.lax.dot_general(
+        sel.astype(bf), dev.astype(bf), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
 
