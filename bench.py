@@ -603,8 +603,14 @@ def main() -> None:
                 }
             return out
 
+        # Deadline must EXCEED the analytic-VJP grad program's ~500 s cold
+        # compile: the alarm's pending exception fires between the
+        # (uninterruptible) compile's return and jax's persistent-cache
+        # write, so a shorter deadline discards the executable EVERY run
+        # and the section never warms (measured r5: two consecutive runs
+        # recompiled the same program).
         b.section("hmc_large_grad_budget", 180, sec_grad_budget,
-                  dest="hmc_large_grad_budget", deadline_s=420)
+                  dest="hmc_large_grad_budget", deadline_s=750)
 
     # ---- ChEES-HMC SAMPLER at reference scale — the capability the
     # reference cannot have, at the scale that matters. Runs in a CHILD
@@ -652,12 +658,17 @@ def main() -> None:
                    big_init, seed=3)
         f2.run(n_steps=2 * ch)  # 2 chunks: compile + first-execution stall
         t0 = time.perf_counter()
-        f2.run(n_steps=2 * ch)
+        # collect=False: nobody consumes these draws, so the fetch of a
+        # [250, 1024, P] f64 chunk (~39 MB at the tunnel's ~15-27 MB/s
+        # first-touch D2H) would measure the TUNNEL, not the chip; chain
+        # output streaming is a separate (overlappable) concern.
+        f2.run(n_steps=2 * ch, collect=False)
         jax.block_until_ready(f2.state.theta)
         dt2 = time.perf_counter() - t0
         return {
             "chain_steps_per_sec": round(2 * ch * 1024 / dt2, 1),
             "chunk_size": ch,
+            "collect": False,
             "scaling_efficiency_vs_256": round(
                 (2 * ch * 1024 / dt2) / chain_steps_per_sec, 3
             ),

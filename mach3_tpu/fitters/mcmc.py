@@ -556,6 +556,11 @@ class MR2T2:
 
         def drain(pend):
             done_p, state_p, out_p, t0_p, n_p = pend
+            if not collect and callback is None:
+                # nobody consumes the draws: skip the device->host fetch
+                # entirely (the remote-TPU tunnel reads ~15-27 MB/s on first
+                # touch — a [250, 1024, P] f64 chunk costs seconds)
+                return
             host = {k: np.asarray(v) for k, v in out_p.items()}
             host["step_time"] = np.full(n_p, (time.perf_counter() - t0_p) / n_p)
             if collect:
